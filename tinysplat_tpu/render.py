@@ -1,0 +1,146 @@
+"""Full differentiable render pipeline: project -> SH -> composite.
+
+TPU-native re-design of the reference's ``GaussianRasterizer.__call__``
+(/root/reference/tinysplat/splatting/rasterize.py:26-62) with two structural
+improvements:
+
+1. **Fused RGB+D**: the reference rasterizes twice (RGB at rasterize.py:44,
+   depth-as-color at :47-51, doubling the compositing cost). We composite a
+   4-channel color [r, g, b, depth] in one pass; the depth channel's
+   background is background[0], matching the reference's reuse of the RGB
+   background vector for the depth pass (rasterize.py:86) where channel 0 is
+   kept (rasterize.py:51).
+2. **xys gradient probe**: densification needs dL/d(screen xy)
+   (reference retains the grad on the CUDA tensor, rasterize.py:33-34 /
+   model_gaussian.py:130-132). In JAX we thread an explicit zero-valued
+   ``xys_probe`` input added to the projected centers; its gradient *is* the
+   screen-space gradient.
+
+Rasterizer backends:
+  'dense'  — O(N*P) oracle (tests / tiny scenes), ops/rasterize_dense.py
+  'tiled'  — binned + chunked XLA rasterizer, ops/rasterize.py
+  'pallas' — Pallas TPU kernels, ops/rasterize_pallas.py
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .cameras import CameraParams
+from .models.gaussians import GaussianParams
+from .ops.projection import project_gaussians
+from .ops.sh import eval_sh
+
+
+def compute_viewdirs(
+    means: jax.Array, camera: CameraParams, mode: str = "reference"
+) -> jax.Array:
+    """Per-splat unit view directions for SH evaluation.
+
+    mode='reference' replicates rasterize.py:77-79, which uses the view
+    matrix's translation column (-R @ p) as the "camera position" — not the
+    actual camera center. Self-consistent within the reference ecosystem (SH
+    coefficients are trained under it), so it is the default for parity.
+    mode='position' uses the true camera center.
+    """
+    if mode == "reference":
+        origin = camera.viewmat[:3, 3]
+    elif mode == "position":
+        origin = camera.cam_pos
+    else:
+        raise ValueError(mode)
+    dirs = means - origin
+    return dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+
+
+def render(
+    params: GaussianParams,
+    alive: jax.Array,
+    camera: CameraParams,
+    img_height: int,
+    img_width: int,
+    active_sh_degree,
+    background: jax.Array,
+    rasterizer: str = "dense",
+    xys_probe: Optional[jax.Array] = None,
+    viewdirs_mode: str = "reference",
+    tile_size: int = 16,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Render an (H, W, 3) image (+ extras) from Gaussian parameters.
+
+    Pipeline mirrors rasterize.py:26-62: EWA projection, SH color eval with
+    +0.5 shift and >=0 clamp (rasterize.py:39), sigmoid opacities
+    (rasterize.py:86), fused RGB+D compositing, final RGB clamp <= 1
+    (rasterize.py:45).
+
+    Returns:
+      rgb (H, W, 3) and extras dict with 'depth' (H, W), 'alpha' (H, W),
+      'radii' (C,), 'xys' (C, 2), 'camera' dims — the same keys the training
+      loop consumes (reference scripts/train.py:66-102).
+    """
+    proj = project_gaussians(
+        means=params.means,
+        scales=jnp.exp(params.scales),
+        glob_scale=1.0,
+        quats=params.quats,
+        viewmat=camera.viewmat,
+        full_projmat=camera.projmat @ camera.viewmat,
+        fx=camera.fx,
+        fy=camera.fy,
+        cx=img_width / 2.0,
+        cy=img_height / 2.0,
+        img_height=img_height,
+        img_width=img_width,
+        tile_size=tile_size,
+    )
+    xys = proj.xys
+    if xys_probe is not None:
+        xys = xys + xys_probe
+
+    viewdirs = compute_viewdirs(params.means, camera, viewdirs_mode)
+    rgbs = eval_sh(active_sh_degree, viewdirs, params.sh_coeffs())
+    rgbs = jnp.maximum(rgbs + 0.5, 0.0)
+
+    opacities = jax.nn.sigmoid(params.opacities.reshape(-1))
+    valid = proj.valid & alive
+
+    colors4 = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
+    bg4 = jnp.concatenate([background, background[:1]], axis=-1)
+
+    if rasterizer == "dense":
+        from .ops.rasterize_dense import rasterize_dense
+
+        img4, alpha = rasterize_dense(
+            xys, proj.depths, proj.conics, colors4, opacities, valid,
+            img_height, img_width, bg4,
+        )
+    elif rasterizer == "tiled":
+        from .ops.rasterize import rasterize_tiled
+
+        img4, alpha = rasterize_tiled(
+            xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
+            img_height, img_width, bg4, tile_size=tile_size,
+        )
+    elif rasterizer == "pallas":
+        from .ops.rasterize_pallas import rasterize_pallas
+
+        img4, alpha = rasterize_pallas(
+            xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
+            img_height, img_width, bg4,
+        )
+    else:
+        raise ValueError(f"Unknown rasterizer backend: {rasterizer}")
+
+    rgb = jnp.minimum(img4[..., :3], 1.0)
+    depth = img4[..., 3]
+    extras = {
+        "depth": depth,
+        "alpha": alpha,
+        "radii": proj.radii,
+        "xys": xys,
+        "depths": proj.depths,
+        "camera": {"height": img_height, "width": img_width},
+    }
+    return rgb, extras

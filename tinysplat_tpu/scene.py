@@ -1,0 +1,65 @@
+"""Scene: camera collection + sampling + render dispatch.
+
+Semantics of /root/reference/tinysplat/scene.py:198-239 with the sampling
+off-by-one fixed: the reference reshuffles its camera permutation on every
+step except ``step % N == 1`` (scene.py:209 truthiness bug), defeating the
+documented 'without replacement' intent. Here each epoch consumes a fresh
+permutation exactly once.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .cameras import Camera
+
+
+class PointCloud:
+    """Id-sorted SfM point cloud; /root/reference/tinysplat/scene.py:226-239."""
+
+    def __init__(self, point_ids: np.ndarray, xyz: np.ndarray, colors: np.ndarray, errors: np.ndarray):
+        idxs = np.argsort(point_ids)
+        self.point_ids = np.asarray(point_ids)[idxs]
+        self.xyz = np.asarray(xyz)[idxs]
+        self.colors = np.asarray(colors)[idxs]
+        self.errors = np.asarray(errors)[idxs]
+
+    def get_points(self, ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        indices = np.searchsorted(self.point_ids, ids)
+        return self.xyz[indices], self.colors[indices], self.errors[indices]
+
+
+class Scene:
+    """Holds cameras + a render callable; samples cameras per train step."""
+
+    def __init__(self, cameras: List[Camera], render_fn=None, seed: int = 0):
+        self.cameras = cameras
+        self.render_fn = render_fn  # callable(camera) -> (rgb, extras)
+        self._rng = np.random.default_rng(seed)
+        self._perm = self._rng.permutation(len(cameras))
+        self._cursor = 0
+        self.current_camera_idx = 0
+
+    def get_random_camera(self, step: int = 0) -> Camera:
+        """Next camera, without replacement within an epoch.
+
+        (Reference scene.py:207-216; shuffle bug fixed — see module doc.)
+        """
+        if self._cursor >= len(self.cameras):
+            self._perm = self._rng.permutation(len(self.cameras))
+            self._cursor = 0
+        idx = int(self._perm[self._cursor])
+        self._cursor += 1
+        self.current_camera_idx = idx
+        return self.cameras[idx]
+
+    def rescale(self, factor: float) -> None:
+        for camera in self.cameras:
+            camera.rescale(factor)
+
+    def render(self, camera: Camera, dims: Optional[Tuple[int, int]] = None):
+        """Delegates to the bound render callable (scene.py:222-223)."""
+        if self.render_fn is None:
+            raise RuntimeError("Scene has no render function bound")
+        return self.render_fn(camera, dims)

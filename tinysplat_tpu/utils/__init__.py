@@ -1,0 +1,16 @@
+from .quaternions import (
+    normalize_quat,
+    quat_to_rotmat,
+    quat_to_rotmat_np,
+    random_quats,
+)
+from .color import RGB2SH, SH2RGB
+
+__all__ = [
+    "normalize_quat",
+    "quat_to_rotmat",
+    "quat_to_rotmat_np",
+    "random_quats",
+    "RGB2SH",
+    "SH2RGB",
+]
