@@ -1,0 +1,98 @@
+"""Typed training configuration with reference CLI flag parity.
+
+Replaces the reference's stringly-typed ``**vars(args)`` plumbing
+(/root/reference/scripts/train.py:162-245, :270-285) with one frozen
+dataclass. Field names/defaults match the reference argparse flags one to
+one (flag ``--lr-means`` <-> field ``lr_means`` etc.); TPU-specific fields
+are grouped at the bottom.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # Global (reference train.py:164-173)
+    device: str = "tpu"
+    train: bool = False
+    viewer: bool = True
+    load_checkpoint: Optional[str] = None
+    save_checkpoints: bool = False
+    checkpoint_dir: str = "checkpoints"
+    sh_degree: int = 3
+    max_iter: int = 10_000
+    sh_increment_interval: int = 500
+    checkpoint_interval: int = 10_000
+
+    # Viewer (train.py:176-178)
+    viewer_ip: str = "127.0.0.1"
+    viewer_port: int = 8765
+
+    # Dataset (train.py:181-184)
+    dataset_dir: str = "datasets/train"
+    colmap_path: str = "colmap/sparse/0"
+    images_path: str = "images"
+
+    # Learning rates (train.py:187-193)
+    lr_means: float = 0.00016
+    lr_colors_dc: float = 0.0025
+    lr_colors_rest: float = 0.000125
+    lr_scales: float = 0.005
+    lr_quats: float = 0.001
+    lr_opacities: float = 0.05
+
+    # Regularization weights (train.py:197-202)
+    lambda_dssim: float = 0.2
+    lambda_depth: float = 0.2
+    lambda_smooth: float = 0.2
+    lambda_opacity: float = 0.2
+    lambda_density: float = 0.2
+
+    # Densification (train.py:205-214)
+    warmup_densify: int = 600
+    warmup_grad: int = 500
+    interval_densify: int = 100
+    interval_opacity_reset: int = 3000
+    densify_end: int = 30_000
+    epsilon_alpha: float = 0.005
+    tau_means: float = 0.0002
+    densify_scale_thresh: float = 0.01
+    phi: float = 1.6
+    max_gaussians: int = 1_000_000  # reference hard cap model_gaussian.py:145-147
+
+    # Semantic segmentation (train.py:217-219)
+    semantic_path: str = "semantic"
+    semantic_model: str = "facebook/mask2former-swin-large-ade-semantic"
+
+    # Depth estimation (train.py:222-224)
+    depths_path: str = "depths"
+    depth_model: str = "zoe"
+
+    # Depth regularization (train.py:227-230)
+    regularize_depth: bool = False
+    regularize_depth_start: int = 1
+    regularize_depth_end: int = 15_000
+
+    # Opacity entropy regularization (train.py:233-236)
+    regularize_opacity: bool = False
+    regularize_opacity_start: int = 7000
+    regularize_opacity_end: int = 9000
+
+    # SuGaR density regularization (train.py:239-243)
+    regularize_density: bool = False
+    regularize_sdf: bool = False
+    regularize_density_start: int = 9000
+    regularize_density_end: int = 15_000
+
+    # --- TPU-framework-specific ---------------------------------------------
+    rasterizer: str = "tiled"  # dense | tiled | pallas
+    capacity: Optional[int] = None  # splat array capacity (None: auto)
+    tile_size: int = 16
+    viewdirs_mode: str = "reference"  # see render.compute_viewdirs
+    mesh_tile: int = 1  # mesh axis size: image-tile (pixel) sharding
+    mesh_splat: int = 1  # mesh axis size: splat sharding
+    seed: int = 0
+    synthetic: bool = False  # use a synthetic scene instead of COLMAP data
+    log_interval: int = 0  # 0: per-epoch logging like the reference

@@ -1,0 +1,77 @@
+"""SSIM (structural similarity) in pure JAX.
+
+Replaces the reference's ``pytorch_msssim.SSIM(data_range=1.0,
+size_average=True, channel=3)`` used in the training loss
+(/root/reference/tinysplat/splatting/model_gaussian.py:58,
+scripts/train.py:60-63). Same semantics: 11x11 Gaussian window with
+sigma=1.5, K1=0.01, K2=0.03, *valid* (unpadded) convolution, mean over all
+positions/channels.
+
+Implemented as two separable depthwise convolutions — XLA maps these onto
+the TPU convolution units and fuses the elementwise SSIM map computation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(size: int, sigma: float) -> np.ndarray:
+    coords = np.arange(size, dtype=np.float64) - size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(x: jax.Array, window: jax.Array) -> jax.Array:
+    """Separable valid-mode Gaussian blur of (B, C, H, W)."""
+    c = x.shape[1]
+    size = window.shape[0]
+    k_h = jnp.broadcast_to(window.reshape(1, 1, size, 1), (c, 1, size, 1))
+    k_w = jnp.broadcast_to(window.reshape(1, 1, 1, size), (c, 1, 1, size))
+    dn = jax.lax.conv_dimension_numbers(x.shape, k_h.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, k_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    x = jax.lax.conv_general_dilated(x, k_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    return x
+
+
+def ssim(
+    img1: jax.Array,
+    img2: jax.Array,
+    data_range: float = 1.0,
+    win_size: int = 11,
+    win_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jax.Array:
+    """Mean SSIM between two (H, W, C) images in [0, data_range]."""
+    x = jnp.transpose(img1, (2, 0, 1))[None]  # (1, C, H, W)
+    y = jnp.transpose(img2, (2, 0, 1))[None]
+    window = jnp.asarray(_gaussian_window(win_size, win_sigma))
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    mu_x = _blur(x, window)
+    mu_y = _blur(y, window)
+    mu_xx = mu_x * mu_x
+    mu_yy = mu_y * mu_y
+    mu_xy = mu_x * mu_y
+    sigma_xx = _blur(x * x, window) - mu_xx
+    sigma_yy = _blur(y * y, window) - mu_yy
+    sigma_xy = _blur(x * y, window) - mu_xy
+
+    cs_map = (2 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
+    ssim_map = ((2 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs_map
+    return jnp.mean(ssim_map)
+
+
+def psnr(img1: jax.Array, img2: jax.Array, data_range: float = 1.0) -> jax.Array:
+    """Peak signal-to-noise ratio; semantics of torchmetrics
+    ``PeakSignalNoiseRatio(data_range=1.0)`` used at
+    /root/reference/tinysplat/splatting/model_gaussian.py:57."""
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, 1e-12))
