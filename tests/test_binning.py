@@ -1,0 +1,73 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tinysplat_tpu.ops.binning import bin_splats
+
+
+def brute_force_lists(xys, depths, radii, valid, tiles_x, tiles_y, tile_size):
+    """Reference binning: per tile, depth-sorted splat ids (numpy loops)."""
+    lists = [[] for _ in range(tiles_x * tiles_y)]
+    order = np.argsort(depths, kind="stable")
+    for i in order:
+        if not valid[i] or radii[i] <= 0:
+            continue
+        r = radii[i]
+        bx0 = int(np.clip((xys[i, 0] - r) // tile_size, 0, tiles_x))
+        bx1 = int(np.clip((xys[i, 0] + r) // tile_size + 1, 0, tiles_x))
+        by0 = int(np.clip((xys[i, 1] - r) // tile_size, 0, tiles_y))
+        by1 = int(np.clip((xys[i, 1] + r) // tile_size + 1, 0, tiles_y))
+        for ty in range(by0, by1):
+            for tx in range(bx0, bx1):
+                lists[ty * tiles_x + tx].append(i)
+    return lists
+
+
+def random_case(n=80, tiles_x=4, tiles_y=3, tile_size=16, seed=0):
+    rng = np.random.default_rng(seed)
+    W, H = tiles_x * tile_size, tiles_y * tile_size
+    xys = rng.uniform([-10, -10], [W + 10, H + 10], size=(n, 2)).astype(np.float32)
+    depths = rng.uniform(0.5, 5.0, size=(n,)).astype(np.float32)
+    radii = rng.integers(0, 25, size=(n,)).astype(np.int32)
+    valid = rng.uniform(size=(n,)) > 0.15
+    return xys, depths, radii, valid, tiles_x, tiles_y, tile_size
+
+
+def test_bins_match_brute_force():
+    case = random_case()
+    expect = brute_force_lists(*case)
+    xys, depths, radii, valid, tx, ty, ts = case
+    bins = bin_splats(jnp.asarray(xys), jnp.asarray(depths), jnp.asarray(radii),
+                      jnp.asarray(valid), tx, ty, ts)
+    got = np.asarray(bins.idx_lists)
+    counts = np.asarray(bins.counts)
+    for t in range(tx * ty):
+        assert counts[t] == len(expect[t]), t
+        np.testing.assert_array_equal(got[t, : counts[t]], expect[t])
+        assert (got[t, counts[t]:] == -1).all()
+    assert int(bins.dup_overflow) == 0
+    assert int(bins.tile_overflow) == 0
+    assert int(bins.total_intersections) == sum(len(l) for l in expect)
+
+
+def test_tile_overflow_keeps_nearest():
+    """When a tile overflows max_per_tile, the nearest splats are kept."""
+    n = 40
+    xys = np.full((n, 2), 8.0, np.float32)  # all in tile 0
+    depths = np.arange(n, dtype=np.float32) + 1.0
+    radii = np.full(n, 2, np.int32)
+    valid = np.ones(n, bool)
+    bins = bin_splats(jnp.asarray(xys), jnp.asarray(depths), jnp.asarray(radii),
+                      jnp.asarray(valid), 1, 1, 16, max_per_tile=16)
+    assert int(bins.counts[0]) == 16
+    np.testing.assert_array_equal(np.asarray(bins.idx_lists[0]), np.arange(16))
+    assert int(bins.tile_overflow) == n - 16
+
+
+def test_dup_overflow_reported():
+    xys = np.full((4, 2), 8.0, np.float32)
+    depths = np.ones(4, np.float32)
+    radii = np.full(4, 100, np.int32)  # each covers the whole 4x4 grid
+    bins = bin_splats(jnp.asarray(xys), jnp.asarray(depths), jnp.asarray(radii),
+                      jnp.ones(4, bool), 4, 4, 16, dup_capacity=32)
+    assert int(bins.total_intersections) == 64
+    assert int(bins.dup_overflow) == 32

@@ -188,10 +188,11 @@ def tile_ranges(
     """Inclusive-exclusive tile index ranges covered by each splat's AABB."""
     r = radii.astype(xys.dtype)
     x, y = xys[..., 0], xys[..., 1]
-    bx0 = jnp.clip(((x - r) / tile_size).astype(jnp.int32), 0, tiles_x)
-    bx1 = jnp.clip(((x + r) / tile_size).astype(jnp.int32) + 1, 0, tiles_x)
-    by0 = jnp.clip(((y - r) / tile_size).astype(jnp.int32), 0, tiles_y)
-    by1 = jnp.clip(((y + r) / tile_size).astype(jnp.int32) + 1, 0, tiles_y)
+    # floor (not truncation) so fully off-screen splats clip to empty ranges.
+    bx0 = jnp.clip(jnp.floor((x - r) / tile_size).astype(jnp.int32), 0, tiles_x)
+    bx1 = jnp.clip(jnp.floor((x + r) / tile_size).astype(jnp.int32) + 1, 0, tiles_x)
+    by0 = jnp.clip(jnp.floor((y - r) / tile_size).astype(jnp.int32), 0, tiles_y)
+    by1 = jnp.clip(jnp.floor((y + r) / tile_size).astype(jnp.int32) + 1, 0, tiles_y)
     # Culled splats (radius 0) cover no tiles.
     empty = radii <= 0
     bx1 = jnp.where(empty, bx0, bx1)
