@@ -9,6 +9,9 @@ import os
 import sys
 
 # Force CPU regardless of the ambient JAX_PLATFORMS (the sandbox sets 'axon').
+# NOTE: a sitecustomize.py registers the TPU plugin and imports jax at
+# interpreter startup — before this conftest — so the env var alone is not
+# enough; the jax.config.update below is what actually takes effect.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -20,6 +23,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 
 import jax  # noqa: E402  (import after env setup)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

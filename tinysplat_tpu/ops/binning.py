@@ -35,6 +35,26 @@ import jax.numpy as jnp
 from .projection import tile_ranges
 
 
+class FlatBins(NamedTuple):
+    """CHUNK-aligned flat intersection layout for the Pallas rasterizer.
+
+    Entries live in one flat array of ``num_blocks * chunk`` slots; each
+    tile's (depth-sorted) entries occupy a contiguous, chunk-aligned segment,
+    padded with -1. Every chunk-sized block therefore belongs to exactly one
+    tile — the Pallas grid walks blocks with zero idle steps. Tiles with no
+    intersections still get one (all-pad) block so their output tile is
+    initialized.
+    """
+
+    entry_splat: jax.Array  # (num_blocks * chunk,) int32 splat ids, -1 pad
+    block_tile: jax.Array  # (num_blocks,) int32 owning tile of each block
+    block_first: jax.Array  # (num_blocks,) int32 1 if first block of its tile
+    num_blocks_used: jax.Array  # () int32 blocks actually populated
+    total_intersections: jax.Array  # () int32
+    dup_overflow: jax.Array  # () int32
+    tile_overflow: jax.Array  # () int32
+
+
 class TileBins(NamedTuple):
     """Per-tile splat index lists in front-to-back depth order."""
 
@@ -46,34 +66,22 @@ class TileBins(NamedTuple):
     tile_overflow: jax.Array  # () int32 entries dropped by max_per_tile
 
 
-def bin_splats(
+def _sorted_intersections(
     xys: jax.Array,
     depths: jax.Array,
     radii: jax.Array,
     valid: jax.Array,
     tiles_x: int,
     tiles_y: int,
-    tile_size: int = 16,
-    dup_capacity: int = 0,
-    max_per_tile: int = 0,
-) -> TileBins:
-    """Build depth-sorted per-tile splat lists.
+    tile_size: int,
+    dup_capacity: int,
+):
+    """Shared core: (tile, depth)-sorted intersection entries + tile ranges.
 
-    Args:
-      xys/depths/radii/valid: projected splat state (N leading dim).
-      tiles_x/tiles_y: tile grid dims (static).
-      dup_capacity: static total intersection budget (default 8*N).
-      max_per_tile: static per-tile list length (default min(4096, N), rounded
-        up to a multiple of 8 for TPU-friendly layouts).
+    Returns (sorted_tile, sorted_splat, tile_starts, full_counts, total).
+    Entries with tile id == num_tiles are padding.
     """
-    n = xys.shape[0]
     num_tiles = tiles_x * tiles_y
-    if dup_capacity <= 0:
-        dup_capacity = 8 * n
-    if max_per_tile <= 0:
-        max_per_tile = min(4096, n)
-    max_per_tile = max(8, (max_per_tile + 7) // 8 * 8)
-
     bx0, bx1, by0, by1 = tile_ranges(xys, radii, tiles_x, tiles_y, tile_size)
     widths = bx1 - bx0
     counts_per_splat = jnp.where(valid, widths * (by1 - by0), 0)
@@ -110,6 +118,41 @@ def bin_splats(
     tile_starts = jnp.searchsorted(sorted_tile, tile_ids, side="left")
     tile_ends = jnp.searchsorted(sorted_tile, tile_ids, side="right")
     full_counts = (tile_ends - tile_starts).astype(jnp.int32)
+    return sorted_tile, sorted_splat, tile_starts, full_counts, total
+
+
+def bin_splats(
+    xys: jax.Array,
+    depths: jax.Array,
+    radii: jax.Array,
+    valid: jax.Array,
+    tiles_x: int,
+    tiles_y: int,
+    tile_size: int = 16,
+    dup_capacity: int = 0,
+    max_per_tile: int = 0,
+) -> TileBins:
+    """Build depth-sorted per-tile splat lists (dense index table).
+
+    Args:
+      xys/depths/radii/valid: projected splat state (N leading dim).
+      tiles_x/tiles_y: tile grid dims (static).
+      dup_capacity: static total intersection budget (default 8*N).
+      max_per_tile: static per-tile list length (default min(4096, N), rounded
+        up to a multiple of 8 for TPU-friendly layouts).
+    """
+    n = xys.shape[0]
+    num_tiles = tiles_x * tiles_y
+    if dup_capacity <= 0:
+        dup_capacity = 8 * n
+    if max_per_tile <= 0:
+        max_per_tile = min(4096, n)
+    max_per_tile = max(8, (max_per_tile + 7) // 8 * 8)
+
+    sorted_tile, sorted_splat, tile_starts, full_counts, total = _sorted_intersections(
+        xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity
+    )
+    dup_capacity_arr = sorted_tile.shape[0]
     counts = jnp.minimum(full_counts, max_per_tile)
 
     # Scatter sorted entries into the dense (num_tiles, max_per_tile) table.
@@ -128,6 +171,88 @@ def bin_splats(
     return TileBins(
         idx_lists=idx_lists,
         counts=counts,
+        total_intersections=total.astype(jnp.int32),
+        dup_overflow=dup_overflow,
+        tile_overflow=tile_overflow,
+    )
+
+
+def flat_num_blocks(dup_capacity: int, num_tiles: int, chunk: int) -> int:
+    """Static block-count bound for the flat layout: every intersection plus
+    at most one partial/empty block per tile."""
+    return dup_capacity // chunk + num_tiles
+
+
+def bin_splats_flat(
+    xys: jax.Array,
+    depths: jax.Array,
+    radii: jax.Array,
+    valid: jax.Array,
+    tiles_x: int,
+    tiles_y: int,
+    tile_size: int = 16,
+    chunk: int = 128,
+    dup_capacity: int = 0,
+    max_per_tile: int = 0,
+) -> FlatBins:
+    """Build the chunk-aligned flat intersection layout (see FlatBins).
+
+    Same sorted-intersection core as :func:`bin_splats`; entries are scattered
+    to ``aligned_start[tile] + within_rank`` where aligned starts are the
+    exclusive cumsum of per-tile padded counts ``max(chunk,
+    ceil(min(count, max_per_tile)/chunk)*chunk)``.
+    """
+    n = xys.shape[0]
+    num_tiles = tiles_x * tiles_y
+    if dup_capacity <= 0:
+        dup_capacity = 8 * n
+    dup_capacity = (dup_capacity + chunk - 1) // chunk * chunk
+    if max_per_tile <= 0:
+        max_per_tile = min(4096, max(dup_capacity // max(num_tiles, 1), 2 * chunk))
+    max_per_tile = (max_per_tile + chunk - 1) // chunk * chunk
+
+    sorted_tile, sorted_splat, tile_starts, full_counts, total = _sorted_intersections(
+        xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity
+    )
+    counts = jnp.minimum(full_counts, max_per_tile)
+
+    # Chunk-aligned segment starts (>= 1 block even for empty tiles).
+    padded = jnp.maximum((counts + chunk - 1) // chunk, 1) * chunk
+    seg_ends = jnp.cumsum(padded)
+    seg_starts = seg_ends - padded
+    num_blocks = flat_num_blocks(dup_capacity, num_tiles, chunk)
+    flat_size = num_blocks * chunk
+
+    # Scatter sorted entries into their aligned positions.
+    d = jnp.arange(sorted_tile.shape[0])
+    safe_tile = jnp.minimum(sorted_tile, num_tiles - 1)
+    within = d - tile_starts[safe_tile]
+    keep = (sorted_tile < num_tiles) & (within < max_per_tile)
+    pos = jnp.where(keep, seg_starts[safe_tile] + within, flat_size)
+    entry_splat = jnp.full((flat_size,), -1, jnp.int32)
+    entry_splat = entry_splat.at[pos].set(sorted_splat.astype(jnp.int32), mode="drop")
+
+    # Per-block metadata. Blocks past the used range belong to the last tile
+    # and are all-pad (no-ops in the kernel).
+    blocks = jnp.arange(num_blocks, dtype=jnp.int32)
+    block_ends = (seg_ends // chunk).astype(jnp.int32)
+    block_tile = jnp.minimum(
+        jnp.searchsorted(block_ends, blocks, side="right").astype(jnp.int32),
+        num_tiles - 1,
+    )
+    block_starts_of_tile = (seg_starts // chunk).astype(jnp.int32)
+    block_first = (blocks == block_starts_of_tile[block_tile]).astype(jnp.int32)
+    # Unused trailing blocks must not re-initialize the last tile's output.
+    used = block_ends[num_tiles - 1]
+    block_first = jnp.where(blocks < used, block_first, 0)
+
+    dup_overflow = jnp.maximum(total - d.shape[0], 0).astype(jnp.int32)
+    tile_overflow = jnp.sum(full_counts - counts).astype(jnp.int32)
+    return FlatBins(
+        entry_splat=entry_splat,
+        block_tile=block_tile,
+        block_first=block_first,
+        num_blocks_used=used,
         total_intersections=total.astype(jnp.int32),
         dup_overflow=dup_overflow,
         tile_overflow=tile_overflow,
