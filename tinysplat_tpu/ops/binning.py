@@ -80,37 +80,56 @@ def _sorted_intersections(
 
     Returns (sorted_tile, sorted_splat, tile_starts, full_counts, total).
     Entries with tile id == num_tiles are padding.
+
+    TPU cost shape: the naive pipeline sorts dup_capacity entries by two keys
+    and runs an O(D log N) searchsorted. Instead we (a) depth-sort the N
+    splats first (N << D) so duplicates are *generated* in depth order and
+    one single-key stable sort by tile finishes the job, and (b) compute the
+    slot->splat inverse map with a scatter + cummax (two linear passes)
+    rather than a searchsorted.
     """
     num_tiles = tiles_x * tiles_y
     bx0, bx1, by0, by1 = tile_ranges(xys, radii, tiles_x, tiles_y, tile_size)
     widths = bx1 - bx0
-    counts_per_splat = jnp.where(valid, widths * (by1 - by0), 0)
-    total = jnp.sum(counts_per_splat)
+    counts_all = jnp.where(valid, widths * (by1 - by0), 0)
+    total = jnp.sum(counts_all)
 
-    # Slot ranges per splat: splat i owns slots [offsets[i], offsets[i+1]).
-    ends = jnp.cumsum(counts_per_splat)  # inclusive cumsum = range ends
-    starts = ends - counts_per_splat
+    # Depth-presort the splats (stable: splat index breaks ties -> the
+    # composited image is deterministic and sharding-invariant).
+    order = jnp.argsort(jnp.where(valid, depths, jnp.inf), stable=True)
+    counts_o = counts_all[order]
+    widths_o = jnp.maximum(widths[order], 1)
+    bx0_o = bx0[order]
+    by0_o = by0[order]
 
-    # Inverse map: slot d belongs to the splat whose end is the first > d.
-    slots = jnp.arange(dup_capacity, dtype=counts_per_splat.dtype)
-    splat_of = jnp.searchsorted(ends, slots, side="right").astype(jnp.int32)
+    # Slot ranges per depth-ordered splat.
+    ends = jnp.cumsum(counts_o)
+    starts = ends - counts_o
+
+    # Inverse map via scatter + cummax: the owner of slot range [starts[i],
+    # ends[i]) is the max splat index scattered at starts[i] (zero-count
+    # splats collide only with smaller indices; see git history for proof).
+    slots = jnp.arange(dup_capacity, dtype=counts_o.dtype)
+    n = counts_o.shape[0]
+    mark = jnp.zeros((dup_capacity,), jnp.int32)
+    mark = mark.at[starts].max(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    splat_of = jax.lax.cummax(mark)
     in_range = slots < jnp.minimum(total, dup_capacity)
-    splat_of = jnp.where(in_range, splat_of, 0)
 
     # Tile of each slot from its rank inside the splat's tile rectangle.
     rank = slots - starts[splat_of]
-    w = jnp.maximum(widths[splat_of], 1)
-    tx = bx0[splat_of] + rank % w
-    ty = by0[splat_of] + rank // w
+    w = widths_o[splat_of]
+    tx = bx0_o[splat_of] + rank % w
+    ty = by0_o[splat_of] + rank // w
     tile_of = (ty * tiles_x + tx).astype(jnp.int32)
     # Invalid slots sort to the end (tile id = num_tiles).
     tile_of = jnp.where(in_range, tile_of, num_tiles)
+    orig_id = jnp.where(in_range, order[splat_of].astype(jnp.int32), 0)
 
-    # Lexicographic stable sort by (tile, depth); stability preserves the
-    # per-splat input order for equal depths -> deterministic images.
-    depth_of = jnp.where(in_range, depths[splat_of], jnp.inf)
-    sorted_tile, _, sorted_splat = jax.lax.sort(
-        (tile_of, depth_of.astype(jnp.float32), splat_of), num_keys=2, is_stable=True
+    # Entries are already depth-ordered, so one stable single-key sort by
+    # tile yields front-to-back order within every tile.
+    sorted_tile, sorted_splat = jax.lax.sort(
+        (tile_of, orig_id), num_keys=1, is_stable=True
     )
 
     # Per-tile ranges in the sorted list.
