@@ -1,0 +1,78 @@
+"""Headline benchmark: differentiable rasterization throughput on one chip.
+
+Measures the full forward+backward render path (EWA projection -> SH ->
+tile binning -> fused RGB+D compositing -> analytic backward to means /
+scales / quats / SH coeffs / opacities) — the work gsplat's CUDA kernels do
+for the reference (BASELINE.json "metric": fwd+bwd Msplats/s/chip).
+
+Scene: synthetic Gaussian cloud (BASELINE.json configs[0] scaled up), one
+orbit camera, 1066x1600 render (Tanks&Temples Truck-like resolution).
+
+Prints ONE JSON line. vs_baseline is measured against an estimated 25
+Msplats/s fwd+bwd for the reference's gsplat CUDA path on a consumer GPU at
+this scene size (the reference publishes no numbers — BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MSPLATS_S = 25.0
+
+
+def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
+         iters: int = 30, warmup: int = 5) -> None:
+    from tinysplat_tpu.data.synthetic import orbit_cameras
+    from tinysplat_tpu.render import render
+    from __graft_entry__ import _example_state
+
+    state = _example_state(n=n_splats, capacity=n_splats)
+    cam = orbit_cameras(1, width=width, height=height)[0].params()
+    background = jnp.zeros((3,), jnp.float32)
+    backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+
+    def loss_fn(params):
+        rgb, extras = render(
+            params, state.alive, cam, height, width,
+            active_sh_degree=jnp.int32(3), background=background,
+            rasterizer=backend,
+        )
+        return jnp.sum(rgb) + jnp.sum(extras["depth"])
+
+    step = jax.jit(jax.grad(loss_fn))
+
+    grads = None
+    for _ in range(warmup):
+        grads = step(state.params)
+    jax.block_until_ready(grads)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        grads = step(state.params)
+    jax.block_until_ready(grads)
+    dt = time.perf_counter() - t0
+
+    msplats_s = n_splats * iters / dt / 1e6
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_throughput",
+        "value": round(msplats_s, 3),
+        "unit": "Msplats/s",
+        "vs_baseline": round(msplats_s / BASELINE_MSPLATS_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=1 << 18)
+    p.add_argument("--height", type=int, default=1066)
+    p.add_argument("--width", type=int, default=1600)
+    p.add_argument("--iters", type=int, default=30)
+    args = p.parse_args()
+    main(args.n, args.height, args.width, args.iters)

@@ -1,0 +1,133 @@
+"""Training CLI — flag parity with the reference trainer.
+
+Usage mirrors /root/reference/scripts/train.py:162-294:
+
+    python scripts/train.py --train --dataset-dir datasets/truck \
+        --regularize-depth --viewer
+
+plus TPU-framework extras (--rasterizer, --synthetic, --mesh-data/--mesh-tile
+for multi-chip). Flags are generated from the typed Config dataclass
+(tinysplat_tpu/config.py), whose field names/defaults replicate the reference
+argparse table one to one.
+"""
+import argparse
+import asyncio
+import dataclasses
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tinysplat_tpu.config import Config
+
+
+def arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="tinysplat-tpu trainer")
+    for f in dataclasses.fields(Config):
+        flag = "--" + f.name.replace("_", "-")
+        if f.type in ("bool", bool):
+            parser.add_argument(flag, default=f.default,
+                                action=argparse.BooleanOptionalAction)
+        else:
+            ftype = {"int": int, "float": float, "str": str,
+                     "Optional[str]": str, "Optional[int]": int}.get(str(f.type), str)
+            parser.add_argument(flag, type=ftype, default=f.default)
+    return parser
+
+
+def build_scene(cfg: Config):
+    """Dataset -> (scene, initial state). Synthetic path has no COLMAP dep."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinysplat_tpu.models.gaussians import init_from_pcd
+    from tinysplat_tpu.scene import Scene
+
+    if cfg.synthetic:
+        from tinysplat_tpu.data.synthetic import (
+            orbit_cameras,
+            random_gaussian_cloud,
+            synthetic_pcd,
+        )
+        from tinysplat_tpu.render import render as _render
+
+        # Ground-truth views come from a fixed random splat cloud rendered
+        # with the oracle path — a self-contained optimization target.
+        cams = orbit_cameras(10, width=128, height=128)
+        means, log_scales, quats, colors, opac = random_gaussian_cloud(400, seed=7)
+        gt_params_state = init_from_pcd(means, colors * 255, sh_degree=1, capacity=512)
+        p = dataclasses.replace(
+            gt_params_state.params,
+            scales=jnp.asarray(np.pad(log_scales, ((0, 112), (0, 0)), constant_values=-10.0)),
+            opacities=jnp.asarray(np.pad(opac, ((0, 112), (0, 0)), constant_values=-20.0)),
+        )
+        for cam in cams:
+            rgb, _ = _render(p, gt_params_state.alive, cam.params(), 128, 128,
+                             jnp.int32(1), jnp.zeros(3), rasterizer="tiled")
+            cam._image = np.asarray(rgb)
+        pcd = synthetic_pcd(500, seed=1)
+        scene = Scene(cams, seed=cfg.seed)
+        return scene, pcd
+
+    from tinysplat_tpu.data.dataset import Dataset
+
+    dataset = Dataset(cfg.colmap_path, cfg.images_path)
+    scene = Scene(dataset.cameras, seed=cfg.seed)
+    return scene, dataset.pcd
+
+
+async def main() -> None:
+    logging.basicConfig(
+        level=getattr(logging, os.environ.get("LOG_LEVEL", "INFO")),
+        format="%(asctime)s - %(levelname)s - %(message)s",
+    )
+    args = arg_parser().parse_args()
+    cfg = Config(**vars(args))
+    # Path joining as in reference main (scripts/train.py:254-257).
+    cfg = dataclasses.replace(
+        cfg,
+        colmap_path=os.path.join(cfg.dataset_dir, cfg.colmap_path),
+        images_path=os.path.join(cfg.dataset_dir, cfg.images_path),
+        depths_path=os.path.join(cfg.dataset_dir, cfg.depths_path),
+    )
+
+    from tinysplat_tpu.models.gaussians import init_from_pcd
+    from tinysplat_tpu.train_loop import Trainer
+
+    scene, pcd = build_scene(cfg)
+
+    opt_state, start_step, rng_key = None, 0, None
+    if cfg.load_checkpoint:
+        from tinysplat_tpu.io.checkpoint import load_checkpoint
+
+        state, opt_state, start_step, rng_key = load_checkpoint(cfg.load_checkpoint, cfg)
+    else:
+        state = init_from_pcd(
+            pcd.xyz, pcd.colors, sh_degree=cfg.sh_degree, capacity=cfg.capacity,
+            seed=cfg.seed,
+        )
+
+    if cfg.regularize_depth and not cfg.synthetic:
+        from tinysplat_tpu.depthest import DepthEstimator
+
+        DepthEstimator(scene, pcd=pcd, depths_path=cfg.depths_path,
+                       model_name=cfg.depth_model)
+
+    trainer = Trainer(cfg, scene, state, opt_state, start_step, rng_key)
+    scene.render_fn = lambda camera, dims=None: trainer.render_camera(camera, dims)
+
+    coroutines = []
+    if cfg.viewer:
+        from tinysplat_tpu.viewer import Viewer
+
+        viewer = Viewer(scene, cfg.viewer_ip, cfg.viewer_port)
+        coroutines.append(viewer.run())
+    if cfg.train:
+        coroutines.append(trainer.run_async())
+    if coroutines:
+        await asyncio.gather(*coroutines)
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

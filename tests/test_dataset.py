@@ -1,0 +1,123 @@
+"""COLMAP parser + Dataset loader tests (synthetic fixture round-trip).
+
+The reference ships no test data; we synthesize a tiny COLMAP binary model +
+images on disk and check the loader reproduces the reference's semantics
+(/root/reference/tinysplat/dataset.py:13-114).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from tinysplat_tpu.data.colmap import (
+    ColmapCamera,
+    ColmapImage,
+    ColmapPoints,
+    load_reconstruction,
+    write_cameras_binary,
+    write_images_binary,
+    write_points3d_binary,
+)
+from tinysplat_tpu.data.dataset import Dataset
+
+
+@pytest.fixture
+def colmap_dir(tmp_path):
+    from PIL import Image
+
+    sparse = tmp_path / "sparse"
+    images = tmp_path / "images"
+    sparse.mkdir()
+    images.mkdir()
+
+    W, H = 64, 48
+    cams = {
+        1: ColmapCamera(1, "PINHOLE", W, H, np.array([70.0, 72.0, W / 2, H / 2])),
+        2: ColmapCamera(2, "SIMPLE_RADIAL", W, H, np.array([65.0, W / 2, H / 2, 0.05])),
+    }
+    rng = np.random.default_rng(0)
+    ims = {}
+    for i, cam_id in [(1, 1), (2, 1), (3, 2)]:
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        xys = rng.uniform(0, 40, size=(5, 2))
+        pids = np.array([1, 2, -1, 3, -1], np.int64)
+        ims[i] = ColmapImage(i, q, rng.normal(size=3), cam_id, f"img_{i}.png", xys, pids)
+        Image.fromarray(
+            rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+        ).save(images / f"img_{i}.png")
+    pts = ColmapPoints(
+        ids=np.array([1, 2, 3], np.int64),
+        xyz=rng.normal(size=(3, 3)),
+        rgb=rng.integers(0, 255, size=(3, 3)).astype(np.uint8),
+        error=rng.uniform(0.1, 2.0, size=3),
+    )
+    write_cameras_binary(cams, str(sparse / "cameras.bin"))
+    write_images_binary(ims, str(sparse / "images.bin"))
+    write_points3d_binary(pts, str(sparse / "points3D.bin"))
+    return str(sparse), str(images), cams, ims, pts
+
+
+def test_binary_roundtrip(colmap_dir):
+    sparse, _, cams, ims, pts = colmap_dir
+    rec = load_reconstruction(sparse)
+    assert set(rec.cameras) == {1, 2}
+    assert rec.cameras[1].model == "PINHOLE"
+    np.testing.assert_allclose(rec.cameras[1].params, cams[1].params)
+    assert rec.cameras[2].model == "SIMPLE_RADIAL"
+    np.testing.assert_allclose(rec.cameras[2].distortion, [0.05])
+
+    assert set(rec.images) == {1, 2, 3}
+    im = rec.images[2]
+    np.testing.assert_allclose(im.qvec, ims[2].qvec)
+    np.testing.assert_allclose(im.tvec, ims[2].tvec)
+    assert im.name == "img_2.png"
+    np.testing.assert_allclose(im.xys, ims[2].xys)
+    np.testing.assert_array_equal(im.point3d_ids, ims[2].point3d_ids)
+
+    np.testing.assert_array_equal(rec.points.ids, pts.ids)
+    np.testing.assert_allclose(rec.points.xyz, pts.xyz)
+    np.testing.assert_array_equal(rec.points.rgb, pts.rgb)
+    np.testing.assert_allclose(rec.points.error, pts.error)
+
+
+def test_projection_center_matches_pose_inverse(colmap_dir):
+    _, _, _, ims, _ = colmap_dir
+    im = ims[1]
+    center = im.projection_center()
+    # world->cam: x_cam = R x_world + t; the center maps to the origin.
+    np.testing.assert_allclose(im.rotmat() @ center + im.tvec, 0.0, atol=1e-12)
+
+
+def test_dataset_loads_cameras_and_pcd(colmap_dir):
+    sparse, images, cams, ims, pts = colmap_dir
+    ds = Dataset(sparse, images)
+    assert len(ds.cameras) == 3
+    by_name = {c.name: c for c in ds.cameras}
+    c1 = by_name["img_1.png"]
+    # PINHOLE, centered principal point -> focal preserved; no distortion.
+    assert c1.f_x == pytest.approx(70.0)
+    assert c1.f_y == pytest.approx(72.0)
+    assert (c1.width, c1.height) == (64, 48)
+    assert c1.fov_x == pytest.approx(2 * np.arctan(64 / (2 * 70.0)))
+    np.testing.assert_array_equal(np.sort(c1.visible_point_ids), [1, 2, 3])
+
+    # SIMPLE_RADIAL camera gets undistorted (dims may shrink via ROI crop).
+    c3 = by_name["img_3.png"]
+    assert c3.width <= 64 and c3.height <= 48
+    img = c3.get_original_image()
+    assert img.shape == (c3.height, c3.width, 3)
+    assert img.dtype == np.float32 and img.max() <= 1.0
+
+    assert ds.spatial_extent > 0
+    xyz, colors, errors = ds.pcd.get_points(np.array([2, 3]))
+    np.testing.assert_allclose(xyz, pts.xyz[[1, 2]], atol=1e-6)
+
+
+def test_dataset_max_dimension_rescale(colmap_dir):
+    sparse, images, *_ = colmap_dir
+    ds = Dataset(sparse, images, max_image_dimension=32)
+    for cam in ds.cameras:
+        assert max(cam.width, cam.height) <= 32
+        # FOV consistency after rescale.
+        assert cam.fov_x == pytest.approx(2 * np.arctan(cam.width / (2 * cam.f_x)))

@@ -12,7 +12,7 @@ import dataclasses
 from typing import Optional
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class Config:
     # Global (reference train.py:164-173)
     device: str = "tpu"

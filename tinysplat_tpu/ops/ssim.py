@@ -38,7 +38,7 @@ def _blur(x: jax.Array, window: jax.Array) -> jax.Array:
     return x
 
 
-def ssim(
+def ssim_map(
     img1: jax.Array,
     img2: jax.Array,
     data_range: float = 1.0,
@@ -47,7 +47,13 @@ def ssim(
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> jax.Array:
-    """Mean SSIM between two (H, W, C) images in [0, data_range]."""
+    """Per-position SSIM map, valid positions only: (H-w+1, W-w+1, C).
+
+    Exposed separately so the sharded trainer can compute an *exact* global
+    SSIM over row-sharded images: each shard evaluates the map on its band
+    extended by a (win_size - 1)-row halo from the neighbor below, and the
+    per-position values partition the global map (see parallel/train_step.py).
+    """
     x = jnp.transpose(img1, (2, 0, 1))[None]  # (1, C, H, W)
     y = jnp.transpose(img2, (2, 0, 1))[None]
     window = jnp.asarray(_gaussian_window(win_size, win_sigma))
@@ -65,8 +71,21 @@ def ssim(
     sigma_xy = _blur(x * y, window) - mu_xy
 
     cs_map = (2 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
-    ssim_map = ((2 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs_map
-    return jnp.mean(ssim_map)
+    smap = ((2 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs_map
+    return jnp.transpose(smap[0], (1, 2, 0))  # (H', W', C)
+
+
+def ssim(
+    img1: jax.Array,
+    img2: jax.Array,
+    data_range: float = 1.0,
+    win_size: int = 11,
+    win_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jax.Array:
+    """Mean SSIM between two (H, W, C) images in [0, data_range]."""
+    return jnp.mean(ssim_map(img1, img2, data_range, win_size, win_sigma, k1, k2))
 
 
 def psnr(img1: jax.Array, img2: jax.Array, data_range: float = 1.0) -> jax.Array:

@@ -1,0 +1,398 @@
+"""Sharded training step: FSDP splat sharding + pixel-band rasterization.
+
+The multi-chip redesign of the reference's single-GPU training iteration
+(/root/reference/scripts/train.py:45-101). One jitted shard_map executable
+performs, per device (mesh axes ('data', 'tile'), see sharding.py):
+
+  1. all_gather(params, 'data')        — FSDP weight gather: each tile-column
+     holds a 1/n_tile slice of the splats. Transpose = reduce_scatter of the
+     parameter gradients over 'data' — the data-parallel gradient reduction,
+     fused into backward and overlapped by XLA with compositing.
+  2. EWA projection + SH eval on the local splat slice, per local camera
+     (the 'data' axis carries a batch of B cameras per step — a TPU-native
+     generalization of the reference's one-camera step; loss is the batch
+     mean, so B=1 reproduces the reference's semantics exactly).
+  3. all_gather(projected attrs, 'tile') — every device needs every splat
+     that might hit its pixel band; gathering *projected* attributes (~10
+     floats/splat) instead of raw parameters keeps the collective small.
+     Transpose = reduce_scatter of screen-space gradients over 'tile'.
+  4. tile binning + front-to-back compositing of the device's horizontal
+     pixel band only (H/n_tile rows) — the hot rasterization work is where
+     pixels are sharded (the reference's 16x16 CUDA tile grid, rasterize.py
+     :19-20, lifted to the mesh level).
+  5. loss: L1 + DSSIM (+ scheduled depth / opacity regularizers,
+     train.py:57-91). SSIM is computed *exactly* under row sharding: each
+     band evaluates the valid-mode SSIM map on its rows extended by a 10-row
+     ppermute halo from the band below; per-position values partition the
+     global map, so psum of the partial sums equals the single-device value.
+  6. Adam on the local 1/(n_data*n_tile) parameter shard (optimizer state is
+     ZeRO-sharded), plus the densification gradient accumulator
+     (model_gaussian.py:130-132) reduced over 'data'.
+
+Every cross-device byte rides ICI collectives inserted exactly where steps
+1/3 say — there is no other communication in the step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..cameras import CameraParams
+from ..config import Config
+from ..models.gaussians import GaussianParams, GaussianState
+from ..ops.projection import project_gaussians
+from ..ops.sh import eval_sh
+from ..ops.ssim import ssim_map
+from ..train import make_optimizer
+from .sharding import capacity_leaf_spec
+
+SSIM_HALO = 10  # win_size - 1
+
+
+class ShardedStepOutput(NamedTuple):
+    state: GaussianState
+    opt_state: Any
+    metrics: Dict[str, jax.Array]
+
+
+def _gather(tree, axis_name, axis: int = 0):
+    return jax.tree.map(
+        lambda x: jax.lax.all_gather(x, axis_name, axis=axis, tiled=True), tree
+    )
+
+
+def _cap_specs(tree):
+    return jax.tree.map(capacity_leaf_spec, tree)
+
+
+def _project_batch(params: GaussianParams, cams: CameraParams, H: int, W: int, tile_size: int):
+    """vmap EWA projection over a (Bl,)-batched CameraParams pytree."""
+
+    def one(cam: CameraParams):
+        return project_gaussians(
+            means=params.means,
+            scales=jnp.exp(params.scales),
+            glob_scale=1.0,
+            quats=params.quats,
+            viewmat=cam.viewmat,
+            full_projmat=cam.projmat @ cam.viewmat,
+            fx=cam.fx,
+            fy=cam.fy,
+            cx=W / 2.0,
+            cy=H / 2.0,
+            img_height=H,
+            img_width=W,
+            tile_size=tile_size,
+        )
+
+    return jax.vmap(one)(cams)
+
+
+def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, cfg):
+    """Per-camera rasterization of one horizontal band (vmapped over Bl)."""
+    if cfg.rasterizer == "pallas":
+        from ..ops.rasterize_pallas import rasterize_pallas as fn
+
+        kw = {}
+    else:
+        from ..ops.rasterize import rasterize_tiled as fn
+
+        kw = {"tile_size": cfg.tile_size}
+
+    def one(xys_b, depths_b, radii_b, conics_b, colors_b, valid_b):
+        return fn(xys_b, depths_b, radii_b, conics_b, colors_b, opac, valid_b, Hl, W, bg, **kw)
+
+    if xys.shape[0] == 1:  # common case: one camera per data group — no vmap
+        img, alpha = one(xys[0], depths[0], radii[0], conics[0], colors[0], valid[0])
+        return img[None], alpha[None]
+    return jax.vmap(one)(xys, depths, radii, conics, colors, valid)
+
+
+def _dist_ssim_mean(x, y, H: int, W: int, B: int, n_tile: int, t_idx) -> jax.Array:
+    """Exact global mean SSIM over ('data','tile')-sharded image batches.
+
+    x, y: (Bl, Hl, W, 3) local bands. Each band fetches a SSIM_HALO-row halo
+    from the band below it (ppermute), evaluates the valid-mode SSIM map, and
+    masks positions whose 11-row window crosses the true image bottom. The
+    psum of partial sums over the whole mesh equals the single-device value
+    (ops/ssim.py semantics == pytorch_msssim as used at reference
+    scripts/train.py:60-63).
+    """
+    Hl = x.shape[1]
+    halo = min(SSIM_HALO, Hl)
+    if n_tile > 1:
+        perm = [(t, t - 1) for t in range(1, n_tile)]
+        hx = jax.lax.ppermute(x[:, :halo], "tile", perm)
+        hy = jax.lax.ppermute(y[:, :halo], "tile", perm)
+    else:
+        hx = jnp.zeros_like(x[:, :halo])
+        hy = jnp.zeros_like(y[:, :halo])
+    xe = jnp.concatenate([x, hx], axis=1)  # (Bl, Hl+halo, W, 3)
+    ye = jnp.concatenate([y, hy], axis=1)
+    smap = jax.vmap(ssim_map)(xe, ye)  # (Bl, Hl+halo-10, W-10, 3)
+    rows = t_idx * Hl + jnp.arange(smap.shape[1])
+    mask = (rows < H - SSIM_HALO).astype(x.dtype)
+    s = jnp.sum(smap * mask[None, :, None, None])
+    s = jax.lax.psum(s, ("data", "tile"))
+    count = B * (H - SSIM_HALO) * (W - SSIM_HALO) * 3
+    return s / count
+
+
+def make_sharded_train_step(
+    cfg: Config,
+    img_height: int,
+    img_width: int,
+    batch: int,
+    mesh: Mesh,
+    optimizer=None,
+    use_depth: bool = False,
+):
+    """Build the jitted multi-device train step.
+
+    Args:
+      batch: global cameras per step (divisible by mesh 'data' size).
+      use_depth: whether an estimated-depth batch is supplied per step
+        (enables the Chung et al. depth regularizer, train.py:65-69).
+
+    Returns train_step(state, opt_state, cams, gt, est_depth, step, key)
+    where cams is a (B,)-batched CameraParams pytree, gt is (B, H, W, 3),
+    est_depth is (B, H, W) (ignored unless use_depth).
+    """
+    if optimizer is None:
+        optimizer = make_optimizer(cfg)
+    n_data, n_tile = mesh.shape["data"], mesh.shape["tile"]
+    H, W, B = img_height, img_width, batch
+    assert H % n_tile == 0, f"image height {H} not divisible by tile axis {n_tile}"
+    assert B % n_data == 0, f"batch {B} not divisible by data axis {n_data}"
+    Hl, Bl = H // n_tile, B // n_data
+    assert Hl >= SSIM_HALO, f"band height {Hl} < SSIM halo {SSIM_HALO}"
+    # Band boundaries must align with the 16x16 tile grid: band-local binning
+    # then culls exactly the same splat/tile pairs as a single-device run
+    # (mid-tile boundaries would change 3-sigma AABB culling, breaking the
+    # 1-vs-N equivalence bar and splitting tiles across devices).
+    assert Hl % cfg.tile_size == 0, (
+        f"band height {Hl} not a multiple of tile_size {cfg.tile_size}; "
+        f"pad the image so H is divisible by n_tile * tile_size"
+    )
+
+    def device_step(state: GaussianState, opt_state, cams, gt, est_depth, step, key):
+        # state leaves: (C/ndev, ...); cams leaves: (Bl, ...);
+        # gt: (Bl, Hl, W, 3); est_depth: (Bl, Hl, W).
+        t_idx = jax.lax.axis_index("tile")
+        d_idx = jax.lax.axis_index("data")
+        c_shard = state.params.means.shape[0]
+
+        active_deg = jnp.minimum(
+            jnp.int32(cfg.sh_degree),
+            jnp.int32(1) + (step // cfg.sh_increment_interval).astype(jnp.int32),
+        )
+        background = jax.random.uniform(key, (3,))
+        bg4 = jnp.concatenate([background, background[:1]])
+
+        alive_col = jax.lax.all_gather(state.alive, "data", tiled=True)
+
+        def loss_fn(params_shard: GaussianParams, probe):
+            # (1) FSDP gather over 'data' -> this tile-column's splat slice.
+            params_col = _gather(params_shard, "data")
+            # (2) project + SH per local camera.
+            proj = _project_batch(params_col, cams, H, W, cfg.tile_size)
+            xys = proj.xys + probe  # (Bl, C/nt, 2)
+
+            def viewdirs_one(cam: CameraParams):
+                origin = cam.viewmat[:3, 3] if cfg.viewdirs_mode == "reference" else cam.cam_pos
+                d = params_col.means - origin
+                return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+            viewdirs = jax.vmap(viewdirs_one)(cams)
+            coeffs = params_col.sh_coeffs()
+            rgbs = jax.vmap(lambda v: eval_sh(active_deg, v, coeffs))(viewdirs)
+            rgbs = jnp.maximum(rgbs + 0.5, 0.0)  # (Bl, C/nt, 3)
+            colors4 = jnp.concatenate([rgbs, proj.depths[..., None]], axis=-1)
+            opac = jax.nn.sigmoid(params_col.opacities.reshape(-1))
+            valid = proj.valid & alive_col[None, :]
+
+            # (3) gather projected attrs over 'tile' -> full splat set.
+            xys_f, depths_f, radii_f, conics_f, colors_f, valid_f = _gather(
+                (xys, proj.depths, proj.radii, proj.conics, colors4, valid),
+                "tile",
+                axis=1,
+            )
+            opac_f = jax.lax.all_gather(opac, "tile", axis=0, tiled=True)
+
+            # (4) rasterize this device's pixel band (global rows
+            # [t_idx*Hl, (t_idx+1)*Hl)): shift y so band-local tiling sees
+            # band-local pixel coordinates; compositing is per-pixel, so the
+            # band image equals the corresponding global-image rows.
+            y0 = (t_idx * Hl).astype(xys_f.dtype)
+            shift = jnp.stack([jnp.zeros_like(y0), y0])
+            img4, alpha = _band_rasterize(
+                xys_f - shift, depths_f, radii_f, conics_f, colors_f,
+                opac_f, valid_f, Hl, W, bg4, cfg,
+            )
+            rgb = jnp.minimum(img4[..., :3], 1.0)  # (Bl, Hl, W, 3)
+            depth = img4[..., 3]
+
+            # (5) losses — every psum spans the full mesh, so the scalar is
+            # replicated and equals the global batch-mean loss.
+            npix = B * H * W
+            l1_sum = jax.lax.psum(jnp.sum(jnp.abs(rgb - gt)), ("data", "tile"))
+            loss_l1 = l1_sum / (npix * 3)
+            ssim_val = _dist_ssim_mean(rgb, gt, H, W, B, n_tile, t_idx)
+            loss_ssim = 1.0 - ssim_val
+            loss = (1.0 - cfg.lambda_dssim) * loss_l1 + cfg.lambda_dssim * loss_ssim
+
+            aux = {"loss_l1": loss_l1, "loss_ssim": loss_ssim}
+            if cfg.regularize_depth and use_depth:
+                gate = jnp.where(
+                    (step >= cfg.regularize_depth_start) & (step < cfg.regularize_depth_end),
+                    1.0, 0.0,
+                )
+                dsum = jax.lax.psum(jnp.sum(jnp.abs(depth - est_depth)), ("data", "tile"))
+                loss_depth = dsum / npix
+                loss = loss + gate * cfg.lambda_depth * loss_depth
+                aux["loss_depth"] = loss_depth
+            if cfg.regularize_opacity:
+                gate = jnp.where(
+                    (step >= cfg.regularize_opacity_start) & (step < cfg.regularize_opacity_end),
+                    1.0, 0.0,
+                )
+                o = jax.nn.sigmoid(params_shard.opacities.reshape(-1))
+                ent = -(o * jnp.log(o + 1e-10) + (1 - o) * jnp.log(1 - o + 1e-10))
+                ent_sum = jax.lax.psum(
+                    jnp.sum(jnp.where(state.alive, ent, 0.0)), ("data", "tile")
+                )
+                n_live = jax.lax.psum(jnp.sum(state.alive.astype(jnp.int32)), ("data", "tile"))
+                loss_opacity = ent_sum / jnp.maximum(n_live, 1)
+                loss = loss + gate * cfg.lambda_opacity * loss_opacity
+                aux["loss_opacity"] = loss_opacity
+
+            mse_sum = jax.lax.psum(jnp.sum((rgb - gt) ** 2), ("data", "tile"))
+            aux["psnr"] = 10.0 * jnp.log10(1.0 / jnp.maximum(mse_sum / (npix * 3), 1e-12))
+            aux["loss"] = loss
+            # Differentiate loss / n_devices: under shard_map without
+            # replication tracking (check_vma=False) the transpose of psum is
+            # psum, so the replicated unit cotangent of the loss picks up a
+            # factor of n_devices at its (single) final psum. Every gradient
+            # path crosses exactly one full-mesh psum, so this scale cancels
+            # it exactly (verified by the 1-vs-N-device equivalence test).
+            return loss / (n_data * n_tile), aux
+
+        c_col = c_shard * n_data
+        probe0 = jnp.zeros((Bl, c_col, 2), jnp.float32)
+        (loss, aux), (grads, probe_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, probe0)
+
+        # (6) sharded Adam + densification grad accumulator. probe_grad is
+        # dL/d(screen xy) for this tile-column's splats under the local
+        # cameras; sum over the batch (psum over 'data'), then take this
+        # device's FSDP slice (the 'data' all_gather concatenated slices in
+        # data-index order, so slice d starts at d * c_shard).
+        updates, new_opt_state = optimizer.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        gnorm_col = jax.lax.psum(
+            jnp.sum(jnp.linalg.norm(probe_grad, axis=-1), axis=0), "data"
+        )  # (C/nt,)
+        my_gnorm = jax.lax.dynamic_slice(gnorm_col, (d_idx * c_shard,), (c_shard,))
+        accum = state.means_grad_accum + jnp.where(step >= cfg.warmup_grad, my_gnorm, 0.0)
+
+        new_state = dataclasses.replace(
+            state, params=new_params, means_grad_accum=accum, active_sh_degree=active_deg
+        )
+        metrics = {
+            "loss": aux["loss"],
+            "psnr": aux["psnr"],
+            "num_live": jax.lax.psum(jnp.sum(state.alive.astype(jnp.int32)), ("data", "tile")),
+        }
+        for k in ("loss_l1", "loss_ssim", "loss_depth", "loss_opacity"):
+            if k in aux:
+                metrics[k] = aux[k]
+        return ShardedStepOutput(new_state, new_opt_state, metrics)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(state, opt_state, cams, gt, est_depth, step, key):
+        fn = jax.shard_map(
+            device_step,
+            mesh=mesh,
+            in_specs=(
+                _cap_specs(state),
+                _cap_specs(opt_state),
+                jax.tree.map(lambda _: P("data"), cams),
+                P("data", "tile"),
+                P("data", "tile"),
+                P(),
+                P(),
+            ),
+            out_specs=ShardedStepOutput(_cap_specs(state), _cap_specs(opt_state), P()),
+            check_vma=False,
+        )
+        return fn(state, opt_state, cams, gt, est_depth, jnp.asarray(step, jnp.int32), key)
+
+    return train_step
+
+
+def make_sharded_render(cfg: Config, img_height: int, img_width: int, mesh: Mesh):
+    """Sharded inference render: one camera, pixel rows over the whole mesh.
+
+    Used by evaluation and the viewer on multi-chip runs; splats stay
+    FSDP-sharded, the image comes back row-sharded (concatenable).
+    """
+    n_devices = int(mesh.devices.size)
+    H, W = img_height, img_width
+    assert H % n_devices == 0
+    Hl = H // n_devices
+    flat = ("data", "tile")
+    n_tile = mesh.shape["tile"]
+
+    def device_render(params: GaussianParams, alive, active_deg, cam: CameraParams, background):
+        idx = jax.lax.axis_index("data") * n_tile + jax.lax.axis_index("tile")
+        proj = _project_batch(params, jax.tree.map(lambda x: x[None], cam), H, W, cfg.tile_size)
+        proj = jax.tree.map(lambda x: x[0], proj)
+        origin = cam.viewmat[:3, 3] if cfg.viewdirs_mode == "reference" else cam.cam_pos
+        d = params.means - origin
+        viewdirs = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        rgbs = jnp.maximum(eval_sh(active_deg, viewdirs, params.sh_coeffs()) + 0.5, 0.0)
+        colors4 = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
+        opac = jax.nn.sigmoid(params.opacities.reshape(-1))
+        valid = proj.valid & alive
+
+        attrs = (proj.xys, proj.depths, proj.radii, proj.conics, colors4, opac, valid)
+        xys_f, depths_f, radii_f, conics_f, colors_f, opac_f, valid_f = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, flat, axis=0, tiled=True), attrs
+        )
+        bg4 = jnp.concatenate([background, background[:1]])
+        y0 = (idx * Hl).astype(xys_f.dtype)
+        shift = jnp.stack([jnp.zeros_like(y0), y0])
+        from ..ops.rasterize import rasterize_tiled
+
+        img4, alpha = rasterize_tiled(
+            xys_f - shift, depths_f, radii_f, conics_f, colors_f, opac_f, valid_f,
+            Hl, W, bg4, tile_size=cfg.tile_size,
+        )
+        return jnp.minimum(img4[..., :3], 1.0), img4[..., 3], alpha
+
+    @jax.jit
+    def render_fn(params: GaussianParams, alive, active_deg, cam: CameraParams, background):
+        fn = jax.shard_map(
+            device_render,
+            mesh=mesh,
+            in_specs=(
+                _cap_specs(params),
+                P(flat),
+                P(),
+                jax.tree.map(lambda _: P(), cam),
+                P(),
+            ),
+            out_specs=(P(flat), P(flat), P(flat)),
+            check_vma=False,
+        )
+        return fn(params, alive, active_deg, cam, background)
+
+    return render_fn

@@ -1,0 +1,21 @@
+"""Regularizers: depth-guided (Chung et al. 2023) lives inline in the train
+steps; SuGaR-style density/SDF (Guédon & Lepetit 2023) lives here."""
+from .density import (
+    DensityProbe,
+    approximate_density,
+    density_at_points,
+    density_loss,
+    knn_indices,
+    make_density_probe,
+    sample_points,
+)
+
+__all__ = [
+    "DensityProbe",
+    "approximate_density",
+    "density_at_points",
+    "density_loss",
+    "knn_indices",
+    "make_density_probe",
+    "sample_points",
+]

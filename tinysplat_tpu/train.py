@@ -93,6 +93,7 @@ def compute_losses(
     cfg: Config,
     img_height: int,
     img_width: int,
+    density_probe=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Total loss + aux dict; reference loss stack scripts/train.py:57-91."""
     rgb, extras = render(
@@ -137,6 +138,19 @@ def compute_losses(
         loss = loss + gate * cfg.lambda_opacity * loss_opacity
         aux["loss_opacity"] = loss_opacity
 
+    # SuGaR density / SDF regularization (train.py:77-91), against the
+    # cached per-interval probe (points + KNN + beta; see regularizers/).
+    if cfg.regularize_density and density_probe is not None:
+        from .regularizers.density import density_loss
+
+        gate = _schedule_gate(True, cfg.regularize_density_start, cfg.regularize_density_end, step)
+        loss_density = density_loss(
+            density_probe, params, extras["depth"], camera,
+            img_height, img_width, use_sdf=cfg.regularize_sdf,
+        )
+        loss = loss + gate * cfg.lambda_density * loss_density
+        aux["loss_density"] = loss_density
+
     return loss, aux
 
 
@@ -158,6 +172,7 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
         est_depth: Optional[jax.Array],
         step: jax.Array,
         key: jax.Array,
+        density_probe=None,
     ) -> StepOutput:
         # SH degree warm-up: +1 every sh_increment_interval steps, capped
         # (train.py:49-50, model_gaussian.py:126-128).
@@ -174,7 +189,7 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
             compute_losses, argnums=(0, 1), has_aux=True
         )(
             state.params, probe, state, camera, gt_image, est_depth,
-            background, step, cfg, img_height, img_width,
+            background, step, cfg, img_height, img_width, density_probe,
         )
 
         updates, new_opt_state = optimizer.update(grads, opt_state, state.params)
@@ -194,7 +209,7 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
             "psnr": psnr(aux["rgb"], gt_image),
             "num_live": new_state.num_live(),
         }
-        for k in ("loss_depth", "loss_opacity"):
+        for k in ("loss_depth", "loss_opacity", "loss_density"):
             if k in aux:
                 metrics[k] = aux[k]
         return StepOutput(new_state, new_opt_state, metrics, aux["rgb"])

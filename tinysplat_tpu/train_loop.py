@@ -1,0 +1,244 @@
+"""Host-side training orchestration (the reference's scripts/train.py:19-127
+loop, redesigned around jitted device steps).
+
+Responsibilities that stay on the host — everything else is inside the jitted
+step (train.py / parallel/train_step.py):
+
+- camera sampling per step (scene.get_random_camera);
+- per-image-shape jit cache (cameras keep their native, possibly unequal,
+  undistorted dimensions — one compiled step per distinct (H, W));
+- densify/prune cadence gating (reference model_gaussian.py:139-147) +
+  fixed-capacity growth when densification runs out of free slots (one
+  recompile per doubling, SURVEY.md section 7);
+- density-probe refresh cadence (reference train.py:79-83) and the
+  density-start opacity prune (train.py:105-107);
+- asynchronous metric fetch: device scalars are collected per step but only
+  materialized at epoch logging boundaries (the reference `.item()`s every
+  step — a per-step host sync, train.py:109-112);
+- checkpoint saves (full training state, io/checkpoint.py).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cameras import Camera
+from .config import Config
+from .models.densify import densify_and_prune, prune_by_mask, reset_opacities
+from .models.gaussians import GaussianState, grow_capacity
+from .scene import Scene
+from .train import init_opt_state, make_optimizer, make_train_step
+
+log = logging.getLogger(__name__)
+
+
+def grow_opt_state(opt_state, old_capacity: int, new_capacity: int):
+    """Zero-pad every capacity-sized optimizer leaf (Adam moments)."""
+
+    def pad(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == old_capacity:
+            return jnp.pad(x, [(0, new_capacity - old_capacity)] + [(0, 0)] * (x.ndim - 1))
+        return x
+
+    return jax.tree.map(pad, opt_state)
+
+
+class Metrics:
+    """Per-camera epoch matrices, logged as epoch means.
+
+    Semantics of the reference Metrics (scripts/train.py:130-149), with the
+    values kept as device arrays until the epoch boundary (no per-step sync).
+    """
+
+    def __init__(self, num_cameras: int):
+        self.num_cameras = max(num_cameras, 1)
+        self._pending: Dict[str, list] = defaultdict(list)
+
+    def update(self, step: int, values: Dict[str, jax.Array]) -> None:
+        for k, v in values.items():
+            self._pending[k].append(v)
+
+    def log(self, step: int, extra: str = "") -> Optional[str]:
+        if step % self.num_cameras != 0:
+            return None
+        parts = []
+        for key, vals in self._pending.items():
+            arr = np.asarray(jax.device_get(vals[-self.num_cameras :]))
+            parts.append(f"{key}: {float(arr.mean()):<10.4f}")
+        self._pending.clear()
+        line = " | ".join(parts) + (f" | {extra}" if extra else "")
+        log.info("step %d | %s", step, line)
+        return line
+
+
+class Trainer:
+    """Single-host trainer over one device (multi-chip path: parallel/)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        scene: Scene,
+        state: GaussianState,
+        opt_state=None,
+        start_step: int = 0,
+        rng_key: Optional[jax.Array] = None,
+    ):
+        self.cfg = cfg
+        self.scene = scene
+        self.state = state
+        self.optimizer = make_optimizer(cfg)
+        self.opt_state = opt_state if opt_state is not None else init_opt_state(
+            cfg, state, self.optimizer
+        )
+        self.step = start_step
+        self.key = rng_key if rng_key is not None else jax.random.PRNGKey(cfg.seed)
+        self.metrics = Metrics(len(scene.cameras))
+        self.density_probe = None
+        self._step_fns: Dict[tuple, object] = {}
+        # The reference overrides the densify interval to the camera count
+        # at scripts/train.py:277.
+        self.interval_densify = len(scene.cameras) or cfg.interval_densify
+        self._timestamp = time.strftime("%Y_%m_%d-%H_%M_%S")
+        self.last_rendered = None
+
+    # -- jit cache -------------------------------------------------------------
+
+    def _step_fn(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._step_fns:
+            self._step_fns[key] = make_train_step(self.cfg, h, w, self.optimizer)
+        return self._step_fns[key]
+
+    # -- densification ----------------------------------------------------------
+
+    def _maybe_densify(self) -> None:
+        cfg, step = self.cfg, self.step
+        if step < cfg.warmup_densify or step > cfg.densify_end:
+            return
+        if step % self.interval_densify != 0:
+            return
+        cam = self.scene.cameras[0]
+        max_dim = max(cam.width, cam.height)
+        self.key, sub = jax.random.split(self.key)
+        new_state, new_opt, stats = densify_and_prune(
+            self.state, self.opt_state, sub, self.interval_densify, max_dim, cfg
+        )
+        stats = jax.device_get(stats)
+        dropped = int(stats["dropped"])
+        if dropped > 0:
+            # Not enough free slots: grow capacity (recompile) and redo the
+            # pass on the grown arrays so nothing is lost.
+            old_cap = self.state.capacity
+            new_cap = max(2 * old_cap, old_cap + 2 * dropped)
+            log.info("densify overflow (%d dropped): growing capacity %d -> %d",
+                     dropped, old_cap, new_cap)
+            self.state = grow_capacity(self.state, new_cap)
+            self.opt_state = grow_opt_state(self.opt_state, old_cap, new_cap)
+            self._step_fns.clear()
+            new_state, new_opt, stats = densify_and_prune(
+                self.state, self.opt_state, sub, self.interval_densify, max_dim, cfg
+            )
+            stats = jax.device_get(stats)
+        self.state, self.opt_state = new_state, new_opt
+        log.debug(
+            "densify step %d: cloned %d split %d pruned %d live %d",
+            step, int(stats["cloned"]), int(stats["split"]),
+            int(stats["pruned"]), int(stats["num_live"]),
+        )
+
+    def _maybe_refresh_density_probe(self) -> None:
+        cfg, step = self.cfg, self.step
+        if not cfg.regularize_density:
+            return
+        in_window = cfg.regularize_density_start <= step < cfg.regularize_density_end
+        if not in_window:
+            return
+        if step == cfg.regularize_density_start:
+            # Reference prunes sigmoid(opacity) < 0.5 at the window start
+            # (train.py:105-107).
+            mask = jax.nn.sigmoid(self.state.params.opacities[:, 0]) < 0.5
+            self.state, self.opt_state = prune_by_mask(self.state, self.opt_state, mask)
+        update = step == cfg.regularize_density_start or step % self.interval_densify == 1
+        if update or self.density_probe is None:
+            from .regularizers.density import make_density_probe
+
+            self.key, sub = jax.random.split(self.key)
+            self.density_probe = make_density_probe(
+                self.state.params, self.state.alive, sub, num_samples=100_000
+            )
+
+    # -- main loop ---------------------------------------------------------------
+
+    def train_step(self) -> None:
+        """One training iteration (reference steps 1-8, train.py:45-127)."""
+        cfg = self.cfg
+        self.step += 1
+        self._maybe_refresh_density_probe()
+
+        camera = self.scene.get_random_camera(self.step)
+        h, w = camera.height, camera.width
+        gt = jnp.asarray(camera.get_original_image((w, h)))
+        est_depth = None
+        if cfg.regularize_depth and camera.estimated_depth is not None:
+            est_depth = jnp.asarray(camera.estimated_depth)
+
+        self.key, sub = jax.random.split(self.key)
+        out = self._step_fn(h, w)(
+            self.state, self.opt_state, camera.params(), gt, est_depth,
+            jnp.int32(self.step), sub, self.density_probe,
+        )
+        self.state, self.opt_state = out.state, out.opt_state
+        self.last_rendered = out.rendered
+        self.metrics.update(self.step, out.metrics)
+
+        self._maybe_densify()
+        if (
+            cfg.interval_opacity_reset > 0
+            and self.step % cfg.interval_opacity_reset == 0
+            and self.step <= cfg.densify_end
+        ):
+            self.state = reset_opacities(self.state, cfg.epsilon_alpha)
+
+        num_live = int(jax.device_get(out.metrics["num_live"]))
+        self.metrics.log(self.step, extra=f"N: {num_live}")
+
+        if cfg.save_checkpoints and self.step % cfg.checkpoint_interval == 0:
+            from .io.checkpoint import save_checkpoint
+
+            path = f"{cfg.checkpoint_dir}/{self._timestamp}-{self.step}.npz"
+            save_checkpoint(path, self.state, self.opt_state, self.step, self.key)
+            log.info("saved checkpoint %s", path)
+
+    def run(self, max_iter: Optional[int] = None) -> None:
+        end = max_iter if max_iter is not None else self.cfg.max_iter
+        while self.step < end:
+            self.train_step()
+
+    async def run_async(self, max_iter: Optional[int] = None) -> None:
+        """Cooperative variant interleaving with the viewer server
+        (reference train.py:127 yields to the asyncio loop every step)."""
+        import asyncio
+
+        end = max_iter if max_iter is not None else self.cfg.max_iter
+        while self.step < end:
+            self.train_step()
+            await asyncio.sleep(0)
+
+    # -- rendering for eval / viewer ---------------------------------------------
+
+    def render_camera(self, camera: Camera, dims=None, background=None):
+        from .render import render
+
+        w, h = dims if dims is not None else (camera.width, camera.height)
+        bg = background if background is not None else jnp.zeros(3)
+        return render(
+            self.state.params, self.state.alive, camera.params(), h, w,
+            self.state.active_sh_degree, bg, rasterizer=self.cfg.rasterizer,
+            viewdirs_mode=self.cfg.viewdirs_mode, tile_size=self.cfg.tile_size,
+        )
