@@ -6,7 +6,11 @@ scales / quats / SH coeffs / opacities) — the work gsplat's CUDA kernels do
 for the reference (BASELINE.json "metric": fwd+bwd Msplats/s/chip).
 
 Scene: synthetic Gaussian cloud (BASELINE.json configs[0] scaled up), one
-orbit camera, 1066x1600 render (Tanks&Temples Truck-like resolution).
+orbit camera, 1066x1600 render (Tanks&Temples Truck-like resolution). Splat
+scales are sized so the 3-sigma screen radii land in the ~3-16 px range a
+*trained* 3DGS scene exhibits (~4-12 tile hits per splat), so the measured
+work per splat matches real training, not a pathological all-giant-splat
+cloud.
 
 Prints ONE JSON line. vs_baseline is measured against an estimated 25
 Msplats/s fwd+bwd for the reference's gsplat CUDA path on a consumer GPU at
@@ -31,7 +35,9 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
     from tinysplat_tpu.render import render
     from __graft_entry__ import _example_state
 
-    state = _example_state(n=n_splats, capacity=n_splats)
+    # 3-sigma radius in px ~= 3 * scale * focal / depth; with focal ~1656 px
+    # and depth ~3 this range gives ~3-16 px radii (see module docstring).
+    state = _example_state(n=n_splats, capacity=n_splats, scale_range=(0.002, 0.01))
     cam = orbit_cameras(1, width=width, height=height)[0].params()
     background = jnp.zeros((3,), jnp.float32)
     backend = "pallas" if jax.default_backend() == "tpu" else "tiled"

@@ -1,0 +1,115 @@
+"""Host trainer orchestration: loop, densify cadence, capacity growth,
+checkpoint save/resume equivalence (SURVEY.md section 4 item 3)."""
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinysplat_tpu.config import Config
+from tinysplat_tpu.data.synthetic import orbit_cameras, random_gaussian_cloud, synthetic_pcd
+from tinysplat_tpu.models.gaussians import init_from_pcd
+from tinysplat_tpu.render import render
+from tinysplat_tpu.scene import Scene
+from tinysplat_tpu.train_loop import Trainer, grow_opt_state
+from tinysplat_tpu.train import init_opt_state
+
+
+def _toy_scene(n_cams=3, size=48):
+    cams = orbit_cameras(n_cams, width=size, height=size)
+    means, log_scales, quats, colors, opac = random_gaussian_cloud(60, seed=7)
+    gt_state = init_from_pcd(means, colors * 255, sh_degree=1, capacity=64)
+    p = dataclasses.replace(
+        gt_state.params,
+        scales=jnp.asarray(np.pad(log_scales, ((0, 4), (0, 0)), constant_values=-10.0)),
+        opacities=jnp.asarray(np.pad(opac, ((0, 4), (0, 0)), constant_values=-20.0)),
+    )
+    for cam in cams:
+        rgb, _ = render(p, gt_state.alive, cam.params(), size, size,
+                        jnp.int32(1), jnp.zeros(3), rasterizer="dense")
+        cam._image = np.asarray(rgb)
+    return Scene(cams)
+
+
+def _cfg(**kw):
+    base = dict(rasterizer="dense", sh_degree=1, warmup_densify=10**9,
+                interval_opacity_reset=0, max_iter=6)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_trainer_runs_and_loss_decreases():
+    scene = _toy_scene()
+    cfg = _cfg()
+    pcd = synthetic_pcd(80, seed=2)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=128)
+    tr = Trainer(cfg, scene, state)
+    tr.run(6)
+    assert tr.step == 6
+    assert tr.last_rendered is not None
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    from tinysplat_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    scene = _toy_scene()
+    cfg = _cfg()
+    pcd = synthetic_pcd(80, seed=2)
+    state0 = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=128)
+
+    # Path A: 4 straight steps.
+    trA = Trainer(cfg, scene, jax.tree.map(jnp.copy, state0))
+    trA.run(4)
+
+    # Path B: 2 steps, checkpoint, resume, 2 more steps.
+    sceneB = _toy_scene()
+    trB = Trainer(cfg, sceneB, jax.tree.map(jnp.copy, state0))
+    trB.run(2)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, trB.state, trB.opt_state, trB.step, trB.key)
+    state, opt, step, key = load_checkpoint(path, cfg)
+    sceneB2 = _toy_scene()
+    trB2 = Trainer(cfg, sceneB2, state, opt, step, key)
+    trB2.run(4)
+
+    for name in ("means", "scales", "opacities"):
+        a = np.asarray(getattr(trA.state.params, name))
+        b = np.asarray(getattr(trB2.state.params, name))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_densify_capacity_growth():
+    scene = _toy_scene()
+    # Tiny capacity so densification must grow it: high-grad splats all split.
+    cfg = _cfg(warmup_densify=1, densify_end=100, tau_means=0.0,
+               densify_scale_thresh=1e-6, max_iter=10)
+    pcd = synthetic_pcd(40, seed=2)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=64)
+    tr = Trainer(cfg, scene, state)
+    tr.interval_densify = 3
+    cap_before = tr.state.capacity
+    tr.run(7)
+    # All ~40 splats split every 3 steps; 64 slots can't hold 2x -> growth.
+    assert tr.state.capacity > cap_before
+    # Optimizer moments stayed shape-consistent.
+    mu = tr.opt_state[0].mu.means
+    assert mu.shape[0] == tr.state.capacity
+
+
+def test_grow_opt_state_pads_capacity_leaves():
+    cfg = _cfg()
+    pcd = synthetic_pcd(16, seed=0)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=32)
+    opt = init_opt_state(cfg, state)
+    opt = jax.tree.map(
+        lambda x: jnp.ones_like(x) if getattr(x, "ndim", 0) >= 1 and x.shape[:1] == (32,) else x,
+        opt,
+    )
+    grown = grow_opt_state(opt, 32, 64)
+    mu = grown[0].mu.means
+    assert mu.shape[0] == 64
+    assert float(mu[:32].sum()) == 32 * 3  # originals kept
+    assert float(mu[32:].sum()) == 0.0  # new slots zeroed
+    # Scalar leaves (Adam step count) untouched.
+    assert grown[0].count.shape == ()

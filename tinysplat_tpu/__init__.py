@@ -20,6 +20,7 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 from .cameras import Camera, CameraParams
 from .scene import Scene, PointCloud
 from .render import render
+from .config import Config
 from .models.gaussians import (
     GaussianParams,
     GaussianState,
@@ -27,6 +28,7 @@ from .models.gaussians import (
     state_dict,
     from_state_dict,
 )
+from .train_loop import Trainer
 
 __version__ = "0.1.0"
 
@@ -36,6 +38,8 @@ __all__ = [
     "Scene",
     "PointCloud",
     "render",
+    "Config",
+    "Trainer",
     "GaussianParams",
     "GaussianState",
     "init_from_pcd",

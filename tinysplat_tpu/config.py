@@ -90,6 +90,11 @@ class Config:
     rasterizer: str = "tiled"  # dense | tiled | pallas
     capacity: Optional[int] = None  # splat array capacity (None: auto)
     tile_size: int = 16
+    # Static intersection budgets (0 = auto: 8*N total, 4096/tile). Shrink
+    # dup_capacity toward ~1.25x the observed total_intersections to cut
+    # binning cost proportionally (diagnostics report overflow counts).
+    dup_capacity: int = 0
+    max_per_tile: int = 0
     viewdirs_mode: str = "reference"  # see render.compute_viewdirs
     mesh_tile: int = 1  # mesh axis size: image-tile (pixel) sharding
     mesh_splat: int = 1  # mesh axis size: splat sharding

@@ -19,11 +19,14 @@ def random_gaussian_cloud(
     seed: int = 0,
     extent: float = 1.0,
     center: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    scale_range: Tuple[float, float] = (0.01, 0.08),
 ):
     """Random splat parameter arrays (means/scales/quats/colors/opacities)."""
     rng = np.random.default_rng(seed)
     means = rng.normal(size=(n, 3)).astype(np.float32) * extent * 0.4 + np.asarray(center, np.float32)
-    log_scales = np.log(rng.uniform(0.01, 0.08, size=(n, 3)).astype(np.float32) * extent)
+    log_scales = np.log(
+        rng.uniform(scale_range[0], scale_range[1], size=(n, 3)).astype(np.float32) * extent
+    )
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
     colors = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)

@@ -1,0 +1,177 @@
+"""Zero123-style novel-view diffusion pipeline (flax).
+
+TPU-native rebuild of the reference TinysplatDiffusionPipeline
+(/root/reference/tinysplat/diffusion/pipeline.py:49-536): generate a novel
+view from N input views, conditioned two ways —
+
+  1. feature latents from the PixelNeRF-style volume encoder + aggregator,
+     concatenated channel-wise into the denoiser input (pipeline.py:503);
+  2. CLIP text+image embedding tokens through cross-attention
+     (model_diffusion.py:399-435), with classifier-free guidance by
+     duplicating the batch with zeroed conditioning (pipeline.py:445,
+     :509-511).
+
+Latents initialize from the VAE-encoded init images plus scheduler noise
+(pipeline.py:321-335); the DDIM loop runs under lax.fori_loop; the VAE
+decodes the result (pipeline.py:296-302). All components are first-party
+flax modules (unet.py / vae.py / scheduler.py) — the reference's HF-hub
+pretrained weights are not assumed; params come from `init_params` (random)
+or a user-supplied checkpoint.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..cameras import CameraParams
+from .model_diffusion import EmbeddingMLP, FeatureAggregator, FeatureVolumeEncoder
+from .scheduler import DDIMScheduler
+from .unet import UNet2DCondition
+from .vae import AutoencoderKL
+
+
+@dataclasses.dataclass
+class TinysplatDiffusionPipeline:
+    """Bundles module definitions + their params; `__call__` runs inference."""
+
+    feature_encoder: FeatureVolumeEncoder
+    feature_aggregator: FeatureAggregator
+    embedding_mlp: EmbeddingMLP
+    unet: UNet2DCondition
+    vae: AutoencoderKL
+    scheduler: DDIMScheduler
+    params: Dict[str, Any]
+
+    @classmethod
+    def tiny(cls, key: jax.Array, sample_size: int = 16, latent_channels: int = 4):
+        """Small random-init pipeline (tests / smoke). sample_size is the
+        latent resolution; images are 8x larger (VAE stride)."""
+        fe = FeatureVolumeEncoder(
+            sample_size=sample_size * 2, num_channels=8, latent_dim=sample_size,
+            unet_block_out_channels=(8, 16),
+        )
+        fa = FeatureAggregator(input_dim=8, hidden_dim=16, code_len=2)
+        em = EmbeddingMLP(conditioned_images=2, embed_dim=32)
+        unet = UNet2DCondition(
+            sample_size=sample_size,
+            in_channels=latent_channels + 8 + 3,  # latents + feature volume
+            out_channels=latent_channels,
+            block_out_channels=(16, 32),
+            cross_attention_dim=32,
+        )
+        vae = AutoencoderKL(latent_channels=latent_channels, block_out_channels=(8, 16, 32))
+        sched = DDIMScheduler()
+        params = cls.init_params(key, fe, fa, em, unet, vae, sample_size, latent_channels)
+        return cls(fe, fa, em, unet, vae, sched, params)
+
+    @staticmethod
+    def init_params(key, fe, fa, em, unet, vae, sample_size, latent_channels):
+        ks = jax.random.split(key, 5)
+        B, N = 1, 2
+        S = fe.sample_size
+        cam = _dummy_cams(1)
+        cams_in = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B, N) + x.shape[1:]), _dummy_cams(1))
+        imgs = jnp.zeros((B, N, 3, S, S))
+        p_fe = fe.init(ks[0], cam, imgs, cams_in)
+        feats, xyz = fe.apply(p_fe, cam, imgs, cams_in)
+        p_fa = fa.init(ks[1], feats, xyz)
+        p_em = em.init(
+            ks[2], jnp.zeros((B, 2, em.embed_dim)), jnp.zeros((B, N, em.embed_dim))
+        )
+        p_unet = unet.init(
+            ks[3],
+            jnp.zeros((B, unet.in_channels, sample_size, sample_size)),
+            jnp.zeros((1,)),
+            jnp.zeros((B, 2, unet.cross_attention_dim)),
+        )
+        p_vae = vae.init(
+            ks[4], jnp.zeros((B, 3, sample_size * 8, sample_size * 8)),
+            jax.random.PRNGKey(0),
+        )
+        return {"fe": p_fe, "fa": p_fa, "em": p_em, "unet": p_unet, "vae": p_vae}
+
+    def __call__(
+        self,
+        init_images: jax.Array,  # (B, 3, H, W) in [-1, 1]
+        target_cameras: CameraParams,  # batched (B,)
+        input_cameras: CameraParams,  # batched (B, N)
+        input_images: jax.Array,  # (B, N, 3, S, S) in [0, 1]
+        image_embeds: Optional[jax.Array] = None,  # (B, N, E) CLIP embeds
+        text_embeds: Optional[jax.Array] = None,  # (B, 2, E)
+        num_inference_steps: int = 10,
+        guidance_scale: float = 3.0,
+        strength: float = 0.8,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Returns generated images (B, 3, H, W) in [-1, 1]."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        p = self.params
+        B = init_images.shape[0]
+        E = self.embedding_mlp.embed_dim
+        do_cfg = guidance_scale > 1.0
+
+        # Conditioning tokens (reference encode_cross_attention_inputs).
+        if image_embeds is None:
+            image_embeds = jnp.zeros((B, self.embedding_mlp.conditioned_images, E))
+        if text_embeds is None:
+            text_embeds = jnp.zeros((B, 2, E))
+        prompt = self.embedding_mlp.apply(p["em"], text_embeds, image_embeds)
+        if do_cfg:
+            prompt = jnp.concatenate([text_embeds, prompt])
+
+        # Feature latents (reference prepare_feature_latents).
+        feats, xyz = self.feature_encoder.apply(
+            p["fe"], target_cameras, input_images, input_cameras
+        )
+        feat_latents = self.feature_aggregator.apply(p["fa"], feats, xyz)
+        if do_cfg:
+            feat_latents = jnp.concatenate([jnp.zeros_like(feat_latents), feat_latents])
+
+        # Init latents from the VAE + noise at the strength-determined step.
+        k_enc, k_noise = jax.random.split(key)
+        latents0 = self.vae.apply(p["vae"], init_images, k_enc, method=AutoencoderKL.encode)
+        ts = self.scheduler.timesteps(num_inference_steps)
+        t_start_idx = int(num_inference_steps * (1 - strength))
+        noise = jax.random.normal(k_noise, latents0.shape)
+        latents = self.scheduler.add_noise(latents0, noise, ts[t_start_idx])
+
+        sched = self.scheduler
+        unet_apply = self.unet.apply
+
+        def body(i, latents):
+            t = ts[i]
+            prev_t = jnp.where(
+                i + 1 < num_inference_steps, ts[jnp.minimum(i + 1, num_inference_steps - 1)], -1
+            )
+            lat_in = jnp.concatenate([latents, latents]) if do_cfg else latents
+            lat_in = jnp.concatenate([lat_in, feat_latents], axis=1)  # channel concat
+            eps = unet_apply(p["unet"], lat_in, t[None].astype(jnp.float32), prompt)
+            if do_cfg:
+                eps_u, eps_c = jnp.split(eps, 2)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            return sched.step(eps, t, latents, prev_t)
+
+        latents = jax.lax.fori_loop(t_start_idx, num_inference_steps, body, latents)
+        return self.vae.apply(p["vae"], latents, method=AutoencoderKL.decode)
+
+
+def _dummy_cams(b: int) -> CameraParams:
+    eye = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+    proj = jnp.broadcast_to(
+        jnp.diag(jnp.asarray([1.0, 1.0, 1.0, 0.0])) + jnp.asarray(
+            [[0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, -0.001], [0, 0, 1, 0]]
+        ),
+        (b, 4, 4),
+    )
+    return CameraParams(
+        viewmat=eye,
+        projmat=proj,
+        cam_pos=jnp.zeros((b, 3)),
+        fx=jnp.full((b,), 100.0),
+        fy=jnp.full((b,), 100.0),
+    )

@@ -1,0 +1,53 @@
+"""DDIM noise scheduler (self-contained, jit-friendly).
+
+Counterpart of the diffusers scheduler used by the reference pipeline
+(/root/reference/tinysplat/diffusion/pipeline.py:321-335 add-noise, :496-520
+denoise loop). Standard DDIM (Song et al. 2020) with a scaled-linear beta
+schedule (the Stable-Diffusion default); all state is precomputed arrays so
+`step` is pure and usable under lax.fori_loop.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DDIMScheduler:
+    def __init__(
+        self,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.00085,
+        beta_end: float = 0.012,
+        beta_schedule: str = "scaled_linear",
+    ):
+        self.num_train_timesteps = num_train_timesteps
+        if beta_schedule == "scaled_linear":
+            betas = np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps) ** 2
+        elif beta_schedule == "linear":
+            betas = np.linspace(beta_start, beta_end, num_train_timesteps)
+        else:
+            raise ValueError(beta_schedule)
+        alphas = 1.0 - betas
+        self.alphas_cumprod = jnp.asarray(np.cumprod(alphas), jnp.float32)
+        self.init_noise_sigma = 1.0
+
+    def timesteps(self, num_inference_steps: int) -> jax.Array:
+        """Descending inference timestep schedule."""
+        step = self.num_train_timesteps // num_inference_steps
+        return jnp.arange(self.num_train_timesteps - 1, -1, -step, dtype=jnp.int32)[
+            :num_inference_steps
+        ]
+
+    def add_noise(self, sample: jax.Array, noise: jax.Array, t) -> jax.Array:
+        a = self.alphas_cumprod[t]
+        return jnp.sqrt(a) * sample + jnp.sqrt(1.0 - a) * noise
+
+    def step(self, eps: jax.Array, t, sample: jax.Array, prev_t) -> jax.Array:
+        """One deterministic DDIM update x_t -> x_{prev_t} given eps-pred."""
+        a_t = self.alphas_cumprod[t]
+        a_prev = jnp.where(prev_t >= 0, self.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
+        x0 = (sample - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps

@@ -375,19 +375,24 @@ def rasterize_pallas(
     safe = jnp.maximum(ids, 0)
     pad = (ids < 0)[:, None]
 
-    ecol = colors[safe]
+    # One (N, ROWS) per-splat attribute matrix + a single row gather: XLA:TPU
+    # vectorizes wide row gathers far better than several narrow ones, and
+    # the autodiff transpose becomes one row scatter-add.
+    ecol = colors
     if c < 4:
         ecol = jnp.pad(ecol, ((0, 0), (0, 4 - c)))
-    attr_cols = jnp.concatenate(
+    per_splat = jnp.concatenate(
         [
-            xys[safe],
-            conics[safe],
-            jnp.where(pad, 0.0, opacities.reshape(-1)[safe][:, None]),
+            xys,
+            conics,
+            opacities.reshape(-1, 1),
             ecol,
-            jnp.zeros((ids.shape[0], ROWS - 10), xys.dtype),
+            jnp.zeros((n, ROWS - 10), xys.dtype),
         ],
         axis=1,
     ).astype(jnp.float32)
+    # Zeroing whole pad rows is safe: opacity 0 => alpha 0 => no contribution.
+    attr_cols = jnp.where(pad, 0.0, per_splat[safe])
     attrs = jnp.swapaxes(attr_cols.reshape(num_blocks, chunk, ROWS), 1, 2)
 
     # Per-block metadata for the worklist.

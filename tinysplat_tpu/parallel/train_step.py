@@ -96,14 +96,13 @@ def _project_batch(params: GaussianParams, cams: CameraParams, H: int, W: int, t
 
 def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, cfg):
     """Per-camera rasterization of one horizontal band (vmapped over Bl)."""
+    kw = {"dup_capacity": cfg.dup_capacity, "max_per_tile": cfg.max_per_tile}
     if cfg.rasterizer == "pallas":
         from ..ops.rasterize_pallas import rasterize_pallas as fn
-
-        kw = {}
     else:
         from ..ops.rasterize import rasterize_tiled as fn
 
-        kw = {"tile_size": cfg.tile_size}
+        kw["tile_size"] = cfg.tile_size
 
     def one(xys_b, depths_b, radii_b, conics_b, colors_b, valid_b):
         return fn(xys_b, depths_b, radii_b, conics_b, colors_b, opac, valid_b, Hl, W, bg, **kw)

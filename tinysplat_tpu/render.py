@@ -67,6 +67,8 @@ def render(
     xys_probe: Optional[jax.Array] = None,
     viewdirs_mode: str = "reference",
     tile_size: int = 16,
+    dup_capacity: int = 0,
+    max_per_tile: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Render an (H, W, 3) image (+ extras) from Gaussian parameters.
 
@@ -122,6 +124,7 @@ def render(
         img4, alpha = rasterize_tiled(
             xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
             img_height, img_width, bg4, tile_size=tile_size,
+            dup_capacity=dup_capacity, max_per_tile=max_per_tile,
         )
     elif rasterizer == "pallas":
         from .ops.rasterize_pallas import rasterize_pallas
@@ -129,6 +132,7 @@ def render(
         img4, alpha = rasterize_pallas(
             xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
             img_height, img_width, bg4,
+            dup_capacity=dup_capacity, max_per_tile=max_per_tile,
         )
     else:
         raise ValueError(f"Unknown rasterizer backend: {rasterizer}")

@@ -36,21 +36,24 @@ class Scene:
     def __init__(self, cameras: List[Camera], render_fn=None, seed: int = 0):
         self.cameras = cameras
         self.render_fn = render_fn  # callable(camera) -> (rgb, extras)
-        self._rng = np.random.default_rng(seed)
-        self._perm = self._rng.permutation(len(cameras))
-        self._cursor = 0
+        self.seed = seed
+        self._perm_epoch = -1
+        self._perm = np.arange(len(cameras))
         self.current_camera_idx = 0
 
     def get_random_camera(self, step: int = 0) -> Camera:
-        """Next camera, without replacement within an epoch.
-
-        (Reference scene.py:207-216; shuffle bug fixed — see module doc.)
+        """Camera for `step`: without replacement within an epoch, and a pure
+        function of (seed, step) — so training resume from a checkpoint
+        replays the exact same camera sequence (the reference's sampler keeps
+        hidden cursor state and reshuffles on a buggy condition,
+        scene.py:207-216).
         """
-        if self._cursor >= len(self.cameras):
-            self._perm = self._rng.permutation(len(self.cameras))
-            self._cursor = 0
-        idx = int(self._perm[self._cursor])
-        self._cursor += 1
+        n = len(self.cameras)
+        epoch, pos = divmod(step, n)
+        if epoch != self._perm_epoch:
+            self._perm = np.random.default_rng(self.seed + epoch).permutation(n)
+            self._perm_epoch = epoch
+        idx = int(self._perm[pos])
         self.current_camera_idx = idx
         return self.cameras[idx]
 

@@ -1,0 +1,87 @@
+"""Semantic segmentation sidecar (Mask2Former per-camera semantic maps).
+
+Same cache-or-compute contract as the depth estimator. The reference module
+(/root/reference/tinysplat/semantic.py) is dead code — never imported, and
+missing its os/np/tqdm imports so it would crash on first use (SURVEY.md
+section 2.1). This version is wired (scripts/train.py exposes the same
+--semantic-path / --semantic-model flags) and supports an injectable backend
+so the cache/assignment logic is testable without downloading weights.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Optional, Union
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+class Mask2FormerBackend:
+    """HF Mask2Former semantic segmentation (reference semantic.py:35-48)."""
+
+    def __init__(self, model_id: str = "facebook/mask2former-swin-large-ade-semantic"):
+        from transformers import (
+            AutoImageProcessor,
+            Mask2FormerForUniversalSegmentation,
+        )
+
+        self.processor = AutoImageProcessor.from_pretrained(model_id)
+        self.model = Mask2FormerForUniversalSegmentation.from_pretrained(model_id)
+
+    def predict(self, camera) -> np.ndarray:
+        import torch
+        from PIL import Image
+
+        img = camera.get_original_image()
+        pil = Image.fromarray((img * 255).astype(np.uint8))
+        inputs = self.processor(images=pil, return_tensors="pt")
+        with torch.no_grad():
+            outputs = self.model(**inputs)
+        seg = self.processor.post_process_semantic_segmentation(
+            outputs, target_sizes=[pil.size[::-1]]
+        )[0]
+        return np.asarray(seg, np.int32)
+
+
+class SemanticSegmenter:
+    def __init__(
+        self,
+        scene,
+        semantic_path: str = "semantic",
+        model: Union[str, Callable, None] = "facebook/mask2former-swin-large-ade-semantic",
+        skip_init: bool = False,
+        **_unused,
+    ):
+        self.scene = scene
+        self.semantic_path = semantic_path
+        self.backend = model if not isinstance(model, str) else None
+        self._model_id = model if isinstance(model, str) else None
+
+        os.makedirs(semantic_path, exist_ok=True)
+        stored = {}
+        for file_name in os.listdir(semantic_path):
+            if file_name.endswith(".npy"):
+                stored[file_name[:-4]] = np.load(
+                    os.path.join(semantic_path, file_name), allow_pickle=True
+                )
+
+        if skip_init:
+            return
+        for camera in scene.cameras:
+            cached = stored.get(camera.name)
+            if cached is not None:
+                camera.semantic_map = np.asarray(cached)
+            else:
+                seg = self.estimate(camera)
+                camera.semantic_map = seg
+                np.save(os.path.join(semantic_path, camera.name + ".npy"), seg)
+                log.debug("segmented %s", camera.name)
+
+    def estimate(self, camera) -> np.ndarray:
+        if self.backend is None:
+            self.backend = Mask2FormerBackend(self._model_id)
+        if callable(self.backend) and not hasattr(self.backend, "predict"):
+            return np.asarray(self.backend(camera))
+        return self.backend.predict(camera)

@@ -108,6 +108,8 @@ def compute_losses(
         xys_probe=probe,
         viewdirs_mode=cfg.viewdirs_mode,
         tile_size=cfg.tile_size,
+        dup_capacity=cfg.dup_capacity,
+        max_per_tile=cfg.max_per_tile,
     )
     loss_l1 = jnp.mean(jnp.abs(rgb - gt_image))
     loss_ssim = 1.0 - ssim(rgb, gt_image)
