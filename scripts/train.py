@@ -114,7 +114,17 @@ async def main() -> None:
         DepthEstimator(scene, pcd=pcd, depths_path=cfg.depths_path,
                        model_name=cfg.depth_model)
 
-    trainer = Trainer(cfg, scene, state, opt_state, start_step, rng_key)
+    import jax
+
+    if len(jax.devices()) > 1 and (cfg.mesh_tile > 1 or cfg.mesh_splat > 1):
+        from tinysplat_tpu.parallel import MeshTrainer, init_distributed, make_mesh
+
+        init_distributed()
+        mesh = make_mesh(max(cfg.mesh_splat, 1), cfg.mesh_tile or 0)
+        trainer = MeshTrainer(cfg, scene, state, opt_state, start_step, rng_key,
+                              mesh=mesh)
+    else:
+        trainer = Trainer(cfg, scene, state, opt_state, start_step, rng_key)
     scene.render_fn = lambda camera, dims=None: trainer.render_camera(camera, dims)
 
     coroutines = []

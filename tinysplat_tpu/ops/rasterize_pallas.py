@@ -118,18 +118,21 @@ def _alphas(attrs, px, py):
 
 
 def _fwd_kernel(tiles_x: int, chunk: int,
-                block_tile, block_first, block_last,
+                block_tile, block_first, block_last, used,
                 attrs_ref, out_ref, t_scr, n_scr):
     w = pl.program_id(0)
     tile = block_tile[w]
     attrs = attrs_ref[0]  # (ROWS, CHUNK)
+    # Grid blocks past num_blocks_used are all-pad (their attrs DMA is
+    # redirected to block 0 by the index_map, so they cost nothing): skip.
+    in_used = w < used[0]
 
     # Scratch columns: 0 = frozen T (value when the pixel stopped
     # compositing — the CUDA kernel's output T), 1 = raw T (product over ALL
     # masked alphas, monotone — the liveness test). They agree until a pixel
     # crosses T_EPS; afterwards raw keeps falling (so the pixel can never
     # resurrect in a later block) while frozen holds the output value.
-    @pl.when(block_first[w] == 1)
+    @pl.when(in_used & (block_first[w] == 1))
     def _():
         t_scr[:, 0:2] = jnp.ones((P, 2), jnp.float32)
         n_scr[:, 0:1] = jnp.zeros((P, 1), jnp.float32)
@@ -137,7 +140,7 @@ def _fwd_kernel(tiles_x: int, chunk: int,
 
     t_raw_in = t_scr[:, 1:2]  # (P, 1)
 
-    @pl.when(jnp.max(t_raw_in) > T_EPS)
+    @pl.when(in_used & (jnp.max(t_raw_in) > T_EPS))
     def _():
         t_fro_in = t_scr[:, 0:1]
         px, py = _pixel_coords(tile, tiles_x)
@@ -164,35 +167,45 @@ def _fwd_kernel(tiles_x: int, chunk: int,
             live.astype(jnp.float32), axis=1, keepdims=True
         )
 
-    @pl.when(block_last[w] == 1)
+    @pl.when(in_used & (block_last[w] == 1))
     def _():
         out_ref[0, 4:5, :] = jnp.swapaxes(t_scr[:, 0:1], 0, 1)
         out_ref[0, 5:6, :] = jnp.swapaxes(n_scr[:, 0:1], 0, 1)
 
 
 def _bwd_kernel(tiles_x: int, chunk: int, num_blocks: int,
-                block_tile, block_last, block_rank,
+                block_tile, block_last, block_rank, used,
                 attrs_ref, fwd_ref, gout_ref, dattrs_ref, t_scr, s_scr):
     w = pl.program_id(0)
     b = num_blocks - 1 - w
     tile = block_tile[b]
     attrs = attrs_ref[0]  # (ROWS, CHUNK)
+    # The reverse walk visits the unused tail first; those blocks' DMAs are
+    # redirected to block 0 and their whole body is skipped (their dattrs
+    # stay unwritten — all their entry ids are -1, so the gather transpose
+    # scatter-adds any garbage into the discarded sentinel row).
+    in_used = b < used[0]
 
-    # Trailing unused blocks are visited before any tile-last reset; scratch
-    # must hold finite values (their pad entries contribute 0 * scratch, and
-    # 0 * NaN would poison the gradient of splat 0 via the pad-id scatter).
     @pl.when(w == 0)
     def _():
         t_scr[:, 0:1] = jnp.ones((P, 1), jnp.float32)
         s_scr[:, 0:1] = jnp.zeros((P, 1), jnp.float32)
 
-    @pl.when(block_last[b] == 1)
+    @pl.when(in_used & (block_last[b] == 1))
     def _():
         t_final = jnp.swapaxes(fwd_ref[0, 4:5, :], 0, 1)  # (P, 1)
         g_tfinal = jnp.swapaxes(gout_ref[0, 4:5, :], 0, 1)
         t_scr[:, 0:1] = t_final
         s_scr[:, 0:1] = g_tfinal * t_final
 
+    @pl.when(in_used)
+    def _():
+        _bwd_block(tiles_x, chunk, tile, b, block_rank,
+                   attrs, fwd_ref, gout_ref, dattrs_ref, t_scr, s_scr)
+
+
+def _bwd_block(tiles_x, chunk, tile, b, block_rank,
+               attrs, fwd_ref, gout_ref, dattrs_ref, t_scr, s_scr):
     px, py = _pixel_coords(tile, tiles_x)
     alpha, e_negsig, dx, dy, grad_ok = _alphas(attrs, px, py)
 
@@ -257,16 +270,22 @@ def _bwd_kernel(tiles_x: int, chunk: int, num_blocks: int,
 def _make_pallas_fns(num_tiles: int, tiles_x: int, num_blocks: int, chunk: int):
     """Build the custom-vjp'd kernel pair for static geometry params."""
 
+    # Unused tail blocks (w >= used) redirect their attrs DMA to block 0,
+    # which stays VMEM-resident across all of them — the tail costs neither
+    # bandwidth nor compute (the kernels skip their bodies).
+    def fwd_attr_idx(w, bt, bf, bl, us):
+        return (jnp.where(w < us[0], w, 0), 0, 0)
+
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x, chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(num_blocks,),
             in_specs=[
-                pl.BlockSpec((1, ROWS, chunk), lambda w, *_: (w, 0, 0)),
+                pl.BlockSpec((1, ROWS, chunk), fwd_attr_idx),
             ],
             out_specs=pl.BlockSpec(
-                (1, OUT_ROWS, P), lambda w, bt, bf, bl: (bt[w], 0, 0)
+                (1, OUT_ROWS, P), lambda w, bt, bf, bl, us: (bt[w], 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((P, 128), jnp.float32),
@@ -277,27 +296,24 @@ def _make_pallas_fns(num_tiles: int, tiles_x: int, num_blocks: int, chunk: int):
         interpret=_interpret(),
     )
 
+    def bwd_attr_idx(w, bt, bl, br, us):
+        b = num_blocks - 1 - w
+        return (jnp.where(b < us[0], b, 0), 0, 0)
+
+    def bwd_tile_idx(w, bt, bl, br, us):
+        return (bt[num_blocks - 1 - w], 0, 0)
+
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x, chunk, num_blocks),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(num_blocks,),
             in_specs=[
-                pl.BlockSpec(
-                    (1, ROWS, chunk), lambda w, *_: (num_blocks - 1 - w, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, OUT_ROWS, P),
-                    lambda w, bt, bl, br: (bt[num_blocks - 1 - w], 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, OUT_ROWS, P),
-                    lambda w, bt, bl, br: (bt[num_blocks - 1 - w], 0, 0),
-                ),
+                pl.BlockSpec((1, ROWS, chunk), bwd_attr_idx),
+                pl.BlockSpec((1, OUT_ROWS, P), bwd_tile_idx),
+                pl.BlockSpec((1, OUT_ROWS, P), bwd_tile_idx),
             ],
-            out_specs=pl.BlockSpec(
-                (1, ROWS, chunk), lambda w, *_: (num_blocks - 1 - w, 0, 0)
-            ),
+            out_specs=pl.BlockSpec((1, ROWS, chunk), bwd_attr_idx),
             scratch_shapes=[
                 pltpu.VMEM((P, 128), jnp.float32),
                 pltpu.VMEM((P, 128), jnp.float32),
@@ -308,16 +324,16 @@ def _make_pallas_fns(num_tiles: int, tiles_x: int, num_blocks: int, chunk: int):
     )
 
     @jax.custom_vjp
-    def composite_tiles(attrs, block_tile, block_first, block_last, block_rank):
-        return fwd_call(block_tile, block_first, block_last, attrs)
+    def composite_tiles(attrs, block_tile, block_first, block_last, block_rank, used):
+        return fwd_call(block_tile, block_first, block_last, used, attrs)
 
-    def composite_fwd(attrs, block_tile, block_first, block_last, block_rank):
-        out = fwd_call(block_tile, block_first, block_last, attrs)
-        return out, (attrs, block_tile, block_last, block_rank, out)
+    def composite_fwd(attrs, block_tile, block_first, block_last, block_rank, used):
+        out = fwd_call(block_tile, block_first, block_last, used, attrs)
+        return out, (attrs, block_tile, block_last, block_rank, used, out)
 
     def composite_bwd(res, gout):
-        attrs, block_tile, block_last, block_rank, fwd_out = res
-        dattrs = bwd_call(block_tile, block_last, block_rank, attrs, fwd_out, gout)
+        attrs, block_tile, block_last, block_rank, used, fwd_out = res
+        dattrs = bwd_call(block_tile, block_last, block_rank, used, attrs, fwd_out, gout)
         zero_int = lambda x: np.zeros(x.shape, jax.dtypes.float0)
         return (
             dattrs,
@@ -325,6 +341,7 @@ def _make_pallas_fns(num_tiles: int, tiles_x: int, num_blocks: int, chunk: int):
             zero_int(block_tile),
             zero_int(block_last),
             zero_int(block_rank),
+            zero_int(used),
         )
 
     composite_tiles.defvjp(composite_fwd, composite_bwd)
@@ -372,12 +389,14 @@ def rasterize_pallas(
         chunk=chunk, dup_capacity=dup_capacity, max_per_tile=max_per_tile,
     )
     ids = bins.entry_splat  # (num_blocks * chunk,)
-    safe = jnp.maximum(ids, 0)
-    pad = (ids < 0)[:, None]
 
-    # One (N, ROWS) per-splat attribute matrix + a single row gather: XLA:TPU
+    # One (N+1, ROWS) per-splat attribute matrix + a single row gather: XLA:TPU
     # vectorizes wide row gathers far better than several narrow ones, and
-    # the autodiff transpose becomes one row scatter-add.
+    # the autodiff transpose becomes one row scatter-add. Pad entries (-1)
+    # redirect to a zero SENTINEL row (opacity 0 => alpha 0 => no
+    # contribution; its cotangents land in the sentinel row and are sliced
+    # off) — avoiding a (D, ROWS) select pass, whose pred materialization and
+    # backward layout copy cost ~100 ms/step at 2.9M entries on v5e.
     ecol = colors
     if c < 4:
         ecol = jnp.pad(ecol, ((0, 0), (0, 4 - c)))
@@ -391,8 +410,9 @@ def rasterize_pallas(
         ],
         axis=1,
     ).astype(jnp.float32)
-    # Zeroing whole pad rows is safe: opacity 0 => alpha 0 => no contribution.
-    attr_cols = jnp.where(pad, 0.0, per_splat[safe])
+    table = jnp.concatenate([per_splat, jnp.zeros((1, ROWS), jnp.float32)])
+    safe = jnp.where(ids < 0, n, ids)
+    attr_cols = table[safe]
     attrs = jnp.swapaxes(attr_cols.reshape(num_blocks, chunk, ROWS), 1, 2)
 
     # Per-block metadata for the worklist.
@@ -415,7 +435,8 @@ def rasterize_pallas(
     block_rank = blocks - tile_first_block[block_tile]
 
     composite_tiles = _cached_pallas_fns(num_tiles, tiles_x, num_blocks, chunk)
-    out = composite_tiles(attrs, block_tile, block_first, block_last, block_rank)
+    used = bins.num_blocks_used.reshape(1).astype(jnp.int32)
+    out = composite_tiles(attrs, block_tile, block_first, block_last, block_rank, used)
 
     t_final = out[:, 4, :]  # (T, P)
     bg4 = background

@@ -11,6 +11,7 @@ compute).
 """
 from .sharding import make_mesh, state_shardings, shard_state
 from .train_step import make_sharded_train_step, make_sharded_render
+from .trainer import MeshTrainer, init_distributed
 
 __all__ = [
     "make_mesh",
@@ -18,4 +19,6 @@ __all__ = [
     "shard_state",
     "make_sharded_train_step",
     "make_sharded_render",
+    "MeshTrainer",
+    "init_distributed",
 ]
