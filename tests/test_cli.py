@@ -1,0 +1,82 @@
+"""CLI smoke tests: scripts/train.py arg parity + scripts/export.py.
+
+The reference export CLI is bit-rotted (wrong import, arg typos — SURVEY.md
+section 2.1); these tests pin the working behavior.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache")
+
+
+def test_train_cli_flag_parity():
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib
+
+    train_mod = importlib.import_module("train")
+    parser = train_mod.arg_parser()
+    # Reference argparse flags (scripts/train.py:162-245) all exist.
+    for flag in [
+        "--train", "--viewer", "--load-checkpoint", "--save-checkpoints",
+        "--checkpoint-dir", "--sh-degree", "--max-iter", "--sh-increment-interval",
+        "--checkpoint-interval", "--viewer-ip", "--viewer-port", "--dataset-dir",
+        "--colmap-path", "--images-path", "--lr-means", "--lr-colors-dc",
+        "--lr-colors-rest", "--lr-scales", "--lr-quats", "--lr-opacities",
+        "--lambda-dssim", "--lambda-depth", "--lambda-opacity", "--lambda-density",
+        "--warmup-densify", "--warmup-grad", "--interval-densify",
+        "--interval-opacity-reset", "--densify-end", "--epsilon-alpha",
+        "--tau-means", "--semantic-path", "--semantic-model", "--depths-path",
+        "--depth-model", "--regularize-depth", "--regularize-depth-start",
+        "--regularize-depth-end", "--regularize-opacity", "--regularize-density",
+        "--regularize-sdf",
+    ]:
+        args = parser.parse_args([])  # defaults parse
+        assert flag.lstrip("-").replace("-", "_") in vars(args), flag
+
+    args = parser.parse_args(["--max-iter", "123", "--regularize-depth",
+                              "--lr-means", "0.001", "--no-viewer"])
+    assert args.max_iter == 123
+    assert args.regularize_depth is True
+    assert args.lr_means == 0.001
+    assert args.viewer is False
+
+
+@pytest.mark.slow
+def test_export_cli_end_to_end(tmp_path):
+    from tinysplat_tpu.io.checkpoint import save_checkpoint
+    from tinysplat_tpu.models.gaussians import init_from_pcd
+
+    rng = np.random.default_rng(0)
+    state = init_from_pcd(
+        rng.normal(size=(50, 3)).astype(np.float32) * 0.2,
+        rng.uniform(0, 255, size=(50, 3)).astype(np.float32),
+        sh_degree=1, capacity=64, opacity_init=0.9,
+    )
+    ck = str(tmp_path / "model.npz")
+    save_checkpoint(ck, state, None, step=10)
+
+    for filetype, name in [("PLY", "out.ply"), ("SPLAT", "out.splat")]:
+        out = str(tmp_path / name)
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "export.py"),
+             "--filetype", filetype, ck, out],
+            capture_output=True, text=True, env=ENV, timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert os.path.getsize(out) > 0
+
+    out = str(tmp_path / "mesh.obj")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "export.py"),
+         "--filetype", "OBJ", "--resolution", "24", ck, out],
+        capture_output=True, text=True, env=ENV, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    content = open(out).read()
+    assert content.count("\nf ") > 10
