@@ -75,6 +75,41 @@ def test_camera_info_and_render_request_flow():
     assert len(calls) == 1
 
 
+def test_viewer_e2e_over_real_websocket():
+    """Full loop with the real websockets library: connect, send cameraInfo,
+    receive a JPEG frame — the browser client's exact handshake."""
+    import websockets
+
+    scene, calls = _scene_with_render()
+    viewer = Viewer(scene, ip="127.0.0.1", port=18765)
+
+    async def run():
+        server_task = asyncio.create_task(viewer.run())
+        await asyncio.sleep(0.3)
+        async with websockets.connect("ws://127.0.0.1:18765") as ws:
+            await ws.send(json.dumps({
+                "type": "cameraInfo", "position": [0, 0, 0],
+                "quat": [0, 0, 0, 1], "fovX": 60, "fovY": 60,
+                "near": 0.1, "far": 1000, "aspectRatio": 1.0,
+            }))
+            msg = json.loads(await asyncio.wait_for(ws.recv(), timeout=10))
+            assert "image" in msg
+            raw = base64.b64decode(msg["image"])
+            assert raw[:2] == b"\xff\xd8"
+            # Movement request -> another frame.
+            await ws.send(json.dumps({
+                "type": "renderRequest", "position": [0, 0, 1],
+                "quat": [0, 0, 0, 1], "aspectRatio": 1.0,
+            }))
+            msg2 = json.loads(await asyncio.wait_for(ws.recv(), timeout=10))
+            assert "image" in msg2
+        viewer.stop()
+        server_task.cancel()
+
+    asyncio.run(run())
+    assert len(calls) >= 2
+
+
 def test_stale_request_eviction():
     scene, calls = _scene_with_render()
     viewer = Viewer(scene)

@@ -5,24 +5,28 @@ TPU-native replacement for the CUDA radix-sort binning hidden inside
 (tile_id, depth) + tile bin edges; see SURVEY.md section 2.2, reference call
 site /root/reference/tinysplat/splatting/rasterize.py:44). There are no
 atomics or dynamic allocations on TPU, so the classic pipeline is recast with
-static shapes:
+static shapes, and — because XLA:TPU's gather/scatter emitter costs ~10 ns
+per index regardless of row width — with scans instead of per-entry gathers:
 
 1. Each splat covers a rectangle of 16x16 tiles (AABB of its 3-sigma radius,
-   projection.tile_ranges). Exclusive-cumsum of per-splat tile counts gives
-   each splat a contiguous range of "duplicate" slots in a fixed budget of
-   ``dup_capacity`` entries.
-2. The inverse map (slot -> splat) is a ``searchsorted`` over the cumsum —
-   O(D log N), fully vectorized; slot -> tile comes from the slot's rank
-   inside its splat's rectangle.
-3. One ``jax.lax.sort`` with two keys (tile_id, depth) and a stable flag
-   orders every tile's intersections front-to-back; per-splat input index
-   order breaks depth ties deterministically (sharding-invariant, SURVEY.md
-   section 7 'sorted-order determinism').
-4. Per-tile contiguous lists are scattered into a dense (num_tiles,
-   max_per_tile) index table, padded with -1. Overflowing tiles keep their
-   *nearest* max_per_tile splats (entries arrive depth-sorted).
+   projection.tile_ranges). Splats are depth-presorted (N-sized argsort), so
+   duplicates are *generated* front-to-back and one single-key stable sort
+   finishes the ordering.
+2. A two-level expansion maps splats -> row spans -> (tile, splat) entries:
+   the inverse maps are scatter + cummax fills, per-entry tile ids come from
+   a delta-cumsum (+1 inside a span, jump at span starts), and depth ranks
+   from a monotone cummax fill — zero per-entry gathers
+   (_sorted_intersections docstring has the details).
+3. One ``jax.lax.sort`` by tile id (stable; entries already depth-ordered)
+   orders every tile's intersections front-to-back; depth-rank order breaks
+   ties deterministically (sharding-invariant, SURVEY.md section 7
+   'sorted-order determinism').
+4. Entries are scattered into either a dense (num_tiles, max_per_tile) index
+   table (TileBins, the XLA rasterizer) or a chunk-aligned flat worklist
+   (FlatBins, the Pallas kernels), padded with -1. Overflowing tiles keep
+   their *nearest* max_per_tile splats (entries arrive depth-sorted).
 
-Both capacity knobs are static; overflow is reported as device scalars so the
+All capacity knobs are static; overflow is reported as device scalars so the
 caller can grow them (one recompile, same pattern as splat-capacity growth).
 """
 from __future__ import annotations
@@ -46,7 +50,10 @@ class FlatBins(NamedTuple):
     initialized.
     """
 
-    entry_splat: jax.Array  # (num_blocks * chunk,) int32 splat ids, -1 pad
+    entry_splat: jax.Array  # (num_blocks * chunk,) int32 DEPTH RANKS, -1 pad
+    order: jax.Array  # (N,) depth sort: original id = order[rank]. Consumers
+    # index depth-permuted per-splat tables with entry_splat directly (an
+    # N-sized table permute is ~1000x cheaper than a per-entry id gather).
     block_tile: jax.Array  # (num_blocks,) int32 owning tile of each block
     block_first: jax.Array  # (num_blocks,) int32 1 if first block of its tile
     num_blocks_used: jax.Array  # () int32 blocks actually populated
@@ -75,76 +82,91 @@ def _sorted_intersections(
     tiles_y: int,
     tile_size: int,
     dup_capacity: int,
+    span_capacity: int = 0,
 ):
     """Shared core: (tile, depth)-sorted intersection entries + tile ranges.
 
-    Returns (sorted_tile, sorted_splat, tile_starts, full_counts, total).
-    Entries with tile id == num_tiles are padding.
+    Returns (sorted_tile, sorted_rank, within, tile_starts, full_counts,
+    total, order, span_overflow). ``sorted_rank`` holds DEPTH RANKS (the
+    splat's position in the depth sort); original splat ids are
+    ``order[sorted_rank]``. Entries with tile id == num_tiles are padding.
 
-    TPU cost shape: the naive pipeline sorts dup_capacity entries by two keys
-    and runs an O(D log N) searchsorted. Instead we (a) depth-sort the N
-    splats first (N << D) so duplicates are *generated* in depth order and
-    one single-key stable sort by tile finishes the job, and (b) compute the
-    slot->splat inverse map with a scatter + cummax (two linear passes)
-    rather than a searchsorted.
+    TPU cost shape: XLA's gather emitter costs ~10 ns/row regardless of
+    width, so the pipeline is built from scans and scatters instead of
+    per-entry gathers:
+
+      1. depth-argsort the N splats (duplicates are then *generated* in
+         depth order, so one single-key stable sort by tile finishes);
+      2. expand each splat's tile rectangle into per-ROW spans (a scatter +
+         two cummax fills at span granularity — span count ~= entries /
+         mean rect width);
+      3. expand spans into entries with *zero* per-entry gathers: the entry
+         tile id is a cumsum of a delta array (tile ids increment by one
+         inside a span; span starts carry the jump), and the entry depth
+         rank is a cummax fill (ranks are non-decreasing across spans);
+      4. stable sort by tile; within-tile ranks from run starts.
     """
     num_tiles = tiles_x * tiles_y
+    n = xys.shape[0]
+    if span_capacity <= 0:
+        span_capacity = max(dup_capacity // 2, 2 * n)
+    d1 = span_capacity
+    d2 = dup_capacity
+
     bx0, bx1, by0, by1 = tile_ranges(xys, radii, tiles_x, tiles_y, tile_size)
     widths = bx1 - bx0
-    counts_all = jnp.where(valid, widths * (by1 - by0), 0)
+    rows = jnp.where(valid, by1 - by0, 0)
+    counts_all = rows * jnp.maximum(widths, 0)
     total = jnp.sum(counts_all)
 
-    # Depth-presort the splats (stable: splat index breaks ties -> the
-    # composited image is deterministic and sharding-invariant).
+    # Depth-presort (stable: splat index breaks ties -> the composited image
+    # is deterministic and sharding-invariant).
     order = jnp.argsort(jnp.where(valid, depths, jnp.inf), stable=True)
+    packed = jnp.stack([rows, jnp.maximum(widths, 1), bx0, by0], axis=1)[order]
+    rows_o = packed[:, 0]
 
-    # PERF: XLA:TPU serializes 1-D scalar gathers (each element is its own
-    # access) but vectorizes multi-column row gathers; pack every per-splat
-    # attribute needed downstream into one i32 matrix and gather rows once.
-    # (Measured on v5e: 5 scalar gathers at D=2M cost ~130 ms, one (D, 8)
-    # row gather costs <1 ms.)
-    packed = jnp.stack(
-        [counts_all, jnp.maximum(widths, 1), bx0, by0,
-         jnp.arange(counts_all.shape[0], dtype=jnp.int32)],
-        axis=1,
-    )[order]  # (N, 5): counts_o, widths_o, bx0_o, by0_o, orig id
-    counts_o = packed[:, 0]
+    # --- level 1: splats -> row spans -----------------------------------------
+    ends1 = jnp.cumsum(rows_o)
+    starts1 = ends1 - rows_o
+    total_spans = ends1[-1]
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    mark1 = jnp.zeros((d1,), jnp.int32).at[starts1].max(ranks, mode="drop")
+    span_rank = jax.lax.cummax(mark1)  # depth rank per span (monotone fill)
+    mark1p = jnp.zeros((d1,), jnp.int32).at[starts1].max(starts1, mode="drop")
+    row_idx = jnp.arange(d1, dtype=jnp.int32) - jax.lax.cummax(mark1p)
+    sp = packed[span_rank]  # (D1, 4) row gather at SPAN granularity only
+    span_len = sp[:, 1]
+    span_base = (sp[:, 3] + row_idx) * tiles_x + sp[:, 2]  # first tile of row
+    span_valid = jnp.arange(d1) < jnp.minimum(total_spans, d1)
+    span_len = jnp.where(span_valid, span_len, 0)
+    span_overflow = jnp.maximum(total_spans - d1, 0).astype(jnp.int32)
 
-    # Slot ranges per depth-ordered splat.
-    ends = jnp.cumsum(counts_o)
-    starts = ends - counts_o
-    packed = jnp.concatenate([starts[:, None], packed[:, 1:]], axis=1)
-    # (N, 5): starts, widths_o, bx0_o, by0_o, orig id
+    # --- level 2: spans -> entries, gather-free --------------------------------
+    ends2 = jnp.cumsum(span_len)
+    starts2 = ends2 - span_len
+    total2 = ends2[-1]  # == total unless spans overflowed
+    # Entry tile id via delta-cumsum: +1 inside a span; at each span start,
+    # the jump from the previous span's last tile to this span's base.
+    prev_end = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (span_base + span_len - 1)[:-1]]
+    )
+    pos_ok = span_valid & (span_len > 0) & (starts2 < d2)
+    starts2_safe = jnp.where(pos_ok, starts2, d2)
+    delta = jnp.ones((d2,), jnp.int32)
+    delta = delta.at[starts2_safe].set(span_base - prev_end, mode="drop",
+                                       unique_indices=True)
+    tile_lin = jnp.cumsum(delta)
+    mark2 = jnp.zeros((d2,), jnp.int32).at[starts2_safe].max(span_rank, mode="drop")
+    rank_of = jax.lax.cummax(mark2)  # monotone across spans
 
-    # Inverse map via scatter + cummax: the owner of slot range [starts[i],
-    # ends[i]) is the max splat index scattered at starts[i] (zero-count
-    # splats collide only with smaller indices; see git history for proof).
-    slots = jnp.arange(dup_capacity, dtype=counts_o.dtype)
-    n = counts_o.shape[0]
-    mark = jnp.zeros((dup_capacity,), jnp.int32)
-    mark = mark.at[starts].max(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    splat_of = jax.lax.cummax(mark)
-    in_range = slots < jnp.minimum(total, dup_capacity)
+    in_range = jnp.arange(d2) < jnp.minimum(total2, d2)
+    tile_of = jnp.where(in_range, tile_lin, num_tiles).astype(jnp.int32)
+    depth_rank = jnp.where(in_range, rank_of, 0)
 
-    g = packed[splat_of]  # (D, 5) single row gather
-    rank = slots - g[:, 0]
-    w = g[:, 1]
-    # Tile of each slot from its rank inside the splat's tile rectangle.
-    # floor((rank + 0.5) / w) == rank // w exactly for 0 <= rank < 2^22,
-    # w >= 1 — and float division is one VPU op vs the multi-op integer
-    # division expansion.
-    ty_off = jnp.floor((rank.astype(jnp.float32) + 0.5) / w.astype(jnp.float32)).astype(jnp.int32)
-    tx = g[:, 2] + (rank - ty_off * w)
-    ty = g[:, 3] + ty_off
-    tile_of = (ty * tiles_x + tx).astype(jnp.int32)
-    # Invalid slots sort to the end (tile id = num_tiles).
-    tile_of = jnp.where(in_range, tile_of, num_tiles)
-    orig_id = jnp.where(in_range, g[:, 4], 0)
-
-    # Entries are already depth-ordered, so one stable single-key sort by
+    # Entries are generated in depth order, so one stable single-key sort by
     # tile yields front-to-back order within every tile.
-    sorted_tile, sorted_splat = jax.lax.sort(
-        (tile_of, orig_id), num_keys=1, is_stable=True
+    sorted_tile, sorted_rank = jax.lax.sort(
+        (tile_of, depth_rank), num_keys=1, is_stable=True
     )
 
     # Per-tile ranges in the sorted list.
@@ -161,7 +183,8 @@ def _sorted_intersections(
     )
     run_start = jax.lax.cummax(jnp.where(change, d, 0))
     within = d - run_start
-    return sorted_tile, sorted_splat, within, tile_starts, full_counts, total
+    return (sorted_tile, sorted_rank, within, tile_starts, full_counts,
+            total, order, span_overflow)
 
 
 def bin_splats(
@@ -192,11 +215,13 @@ def bin_splats(
         max_per_tile = min(4096, n)
     max_per_tile = max(8, (max_per_tile + 7) // 8 * 8)
 
-    sorted_tile, sorted_splat, within, tile_starts, full_counts, total = (
-        _sorted_intersections(
-            xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity
-        )
+    (sorted_tile, sorted_rank, within, tile_starts, full_counts, total,
+     order, span_overflow) = _sorted_intersections(
+        xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity
     )
+    # This (XLA fallback) path keeps original-splat-id semantics in its
+    # tables; the depth-rank -> id conversion costs one 1-col gather.
+    sorted_splat = order[sorted_rank].astype(jnp.int32)
     counts = jnp.minimum(full_counts, max_per_tile)
 
     # Scatter sorted entries into the dense (num_tiles, max_per_tile) table.
@@ -206,11 +231,13 @@ def bin_splats(
     )
     idx_flat = jnp.full((num_tiles * max_per_tile,), -1, jnp.int32)
     idx_flat = idx_flat.at[flat_pos].set(
-        sorted_splat.astype(jnp.int32), mode="drop", unique_indices=True
+        sorted_splat, mode="drop", unique_indices=True
     )
     idx_lists = idx_flat.reshape(num_tiles, max_per_tile)
 
-    dup_overflow = jnp.maximum(total - dup_capacity, 0).astype(jnp.int32)
+    dup_overflow = (
+        jnp.maximum(total - dup_capacity, 0).astype(jnp.int32) + span_overflow
+    )
     tile_overflow = jnp.sum(full_counts - counts).astype(jnp.int32)
     return TileBins(
         idx_lists=idx_lists,
@@ -255,10 +282,9 @@ def bin_splats_flat(
         max_per_tile = min(4096, max(dup_capacity // max(num_tiles, 1), 2 * chunk))
     max_per_tile = (max_per_tile + chunk - 1) // chunk * chunk
 
-    sorted_tile, sorted_splat, within, tile_starts, full_counts, total = (
-        _sorted_intersections(
-            xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity
-        )
+    (sorted_tile, sorted_rank, within, tile_starts, full_counts, total,
+     order, span_overflow) = _sorted_intersections(
+        xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity
     )
     counts = jnp.minimum(full_counts, max_per_tile)
 
@@ -269,13 +295,21 @@ def bin_splats_flat(
     num_blocks = flat_num_blocks(dup_capacity, num_tiles, chunk)
     flat_size = num_blocks * chunk
 
+    # Aligned base per entry, gather-free: bases are increasing in tile id,
+    # and entries are tile-sorted, so scattering each tile's base at its run
+    # start + a cummax fill reproduces seg_starts[sorted_tile].
+    nonempty = full_counts > 0
+    run_pos = jnp.where(nonempty, tile_starts, sorted_tile.shape[0])
+    base_mark = jnp.zeros((sorted_tile.shape[0],), jnp.int32)
+    base_mark = base_mark.at[run_pos].max(seg_starts.astype(jnp.int32), mode="drop")
+    entry_base = jax.lax.cummax(base_mark)
+
     # Scatter sorted entries into their aligned positions.
-    safe_tile = jnp.minimum(sorted_tile, num_tiles - 1)
     keep = (sorted_tile < num_tiles) & (within < max_per_tile)
-    pos = jnp.where(keep, seg_starts[safe_tile] + within, flat_size)
+    pos = jnp.where(keep, entry_base + within, flat_size)
     entry_splat = jnp.full((flat_size,), -1, jnp.int32)
     entry_splat = entry_splat.at[pos].set(
-        sorted_splat.astype(jnp.int32), mode="drop", unique_indices=True
+        sorted_rank.astype(jnp.int32), mode="drop", unique_indices=True
     )
 
     # Per-block metadata. Blocks past the used range belong to the last tile
@@ -292,10 +326,14 @@ def bin_splats_flat(
     used = block_ends[num_tiles - 1]
     block_first = jnp.where(blocks < used, block_first, 0)
 
-    dup_overflow = jnp.maximum(total - sorted_tile.shape[0], 0).astype(jnp.int32)
+    dup_overflow = (
+        jnp.maximum(total - sorted_tile.shape[0], 0).astype(jnp.int32)
+        + span_overflow
+    )
     tile_overflow = jnp.sum(full_counts - counts).astype(jnp.int32)
     return FlatBins(
         entry_splat=entry_splat,
+        order=order.astype(jnp.int32),
         block_tile=block_tile,
         block_first=block_first,
         num_blocks_used=used,

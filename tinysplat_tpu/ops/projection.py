@@ -50,6 +50,22 @@ def scale_rot_to_cov3d(scales: jax.Array, glob_scale: float, quats: jax.Array) -
     return M @ jnp.swapaxes(M, -1, -2)
 
 
+def _rotmat_elems(quats: jax.Array):
+    """The 9 rotation-matrix entries as (N,) arrays (normalized quaternion).
+
+    Scalarized form of utils.quaternions.quat_to_rotmat: XLA lowers (N, 3, 3)
+    batched tiny-matrix chains into many T(4,128)-tiled fusions (~35 ms at
+    N=262k on v5e); plain (N,) elementwise columns fuse into one kernel.
+    """
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
 def project_cov3d_ewa(
     means_cam: jax.Array,
     cov3d: jax.Array,
@@ -85,6 +101,60 @@ def project_cov3d_ewa(
     T = J @ viewmat_rot  # (N, 2, 3)
     cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
     return cov2d + COV2D_BLUR * jnp.eye(2, dtype=cov2d.dtype)
+
+
+def _cov2d_scalar(means_cam, scales_g, quats, W_rot, fx, fy, tan_fovx, tan_fovy):
+    """Scalarized EWA 2D covariance: returns (a, b, c) of the symmetric 2x2.
+
+    Same math as scale_rot_to_cov3d + project_cov3d_ewa but in (N,) column
+    arithmetic — one fused elementwise kernel instead of a chain of batched
+    tiny-matrix fusions (see _rotmat_elems).
+    """
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = _rotmat_elems(quats)
+    s0, s1, s2 = scales_g[..., 0], scales_g[..., 1], scales_g[..., 2]
+    # M = R diag(s); Sigma = M M^T (6 unique entries).
+    m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+    m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+    m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
+    sig00 = m00 * m00 + m01 * m01 + m02 * m02
+    sig01 = m00 * m10 + m01 * m11 + m02 * m12
+    sig02 = m00 * m20 + m01 * m21 + m02 * m22
+    sig11 = m10 * m10 + m11 * m11 + m12 * m12
+    sig12 = m10 * m20 + m11 * m21 + m12 * m22
+    sig22 = m20 * m20 + m21 * m21 + m22 * m22
+
+    tx, ty, tz = means_cam[..., 0], means_cam[..., 1], means_cam[..., 2]
+    tz = jnp.where(jnp.abs(tz) < 1e-8, 1e-8, tz)
+    tx = jnp.clip(tx / tz, -1.3 * tan_fovx, 1.3 * tan_fovx) * tz
+    ty = jnp.clip(ty / tz, -1.3 * tan_fovy, 1.3 * tan_fovy) * tz
+    rz = 1.0 / tz
+    rz2 = rz * rz
+    j00 = fx * rz
+    j02 = -fx * tx * rz2
+    j11 = fy * rz
+    j12 = -fy * ty * rz2
+
+    # T = J @ W (J rows have 2 nonzeros); W entries are traced scalars.
+    w = W_rot
+    t00 = j00 * w[0, 0] + j02 * w[2, 0]
+    t01 = j00 * w[0, 1] + j02 * w[2, 1]
+    t02 = j00 * w[0, 2] + j02 * w[2, 2]
+    t10 = j11 * w[1, 0] + j12 * w[2, 0]
+    t11 = j11 * w[1, 1] + j12 * w[2, 1]
+    t12 = j11 * w[1, 2] + j12 * w[2, 2]
+
+    # u_b = Sigma @ t_b; cov2d_ab = t_a . u_b  (+ low-pass blur on diagonal).
+    u00 = sig00 * t00 + sig01 * t01 + sig02 * t02
+    u01 = sig01 * t00 + sig11 * t01 + sig12 * t02
+    u02 = sig02 * t00 + sig12 * t01 + sig22 * t02
+    u10 = sig00 * t10 + sig01 * t11 + sig02 * t12
+    u11 = sig01 * t10 + sig11 * t11 + sig12 * t12
+    u12 = sig02 * t10 + sig12 * t11 + sig22 * t12
+
+    a = t00 * u00 + t01 * u01 + t02 * u02 + COV2D_BLUR
+    b = t00 * u10 + t01 * u11 + t02 * u12
+    c = t10 * u10 + t11 * u11 + t12 * u12 + COV2D_BLUR
+    return a, b, c
 
 
 def ndc2pix(ndc: jax.Array, size, center) -> jax.Array:
@@ -128,12 +198,9 @@ def project_gaussians(
     depths = means_cam[..., 2]
     in_front = depths > clip_thresh
 
-    cov3d = scale_rot_to_cov3d(scales, glob_scale, quats)  # (N, 3, 3)
-    cov2d = project_cov3d_ewa(means_cam, cov3d, W_rot, fx, fy, tan_fovx, tan_fovy)
-
-    a = cov2d[..., 0, 0]
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1]
+    a, b, c = _cov2d_scalar(
+        means_cam, glob_scale * scales, quats, W_rot, fx, fy, tan_fovx, tan_fovy
+    )
     det = a * c - b * b
     invertible = det > 0.0
     det_safe = jnp.where(invertible, det, 1.0)

@@ -388,15 +388,17 @@ def rasterize_pallas(
         xys, depths, radii, valid, tiles_x, tiles_y, TILE,
         chunk=chunk, dup_capacity=dup_capacity, max_per_tile=max_per_tile,
     )
-    ids = bins.entry_splat  # (num_blocks * chunk,)
+    ids = bins.entry_splat  # (num_blocks * chunk,) DEPTH RANKS
 
     # One (N+1, ROWS) per-splat attribute matrix + a single row gather: XLA:TPU
     # vectorizes wide row gathers far better than several narrow ones, and
-    # the autodiff transpose becomes one row scatter-add. Pad entries (-1)
-    # redirect to a zero SENTINEL row (opacity 0 => alpha 0 => no
-    # contribution; its cotangents land in the sentinel row and are sliced
-    # off) — avoiding a (D, ROWS) select pass, whose pred materialization and
-    # backward layout copy cost ~100 ms/step at 2.9M entries on v5e.
+    # the autodiff transpose becomes one row scatter-add. Entry ids are depth
+    # RANKS, so the table is permuted by bins.order first (an N-row permute,
+    # ~1000x cheaper than converting 8N entry ids). Pad entries (-1) redirect
+    # to a zero SENTINEL row (opacity 0 => alpha 0 => no contribution; its
+    # cotangents land in the sentinel row and are sliced off) — avoiding a
+    # (D, ROWS) select pass, whose pred materialization and backward layout
+    # copy cost ~100 ms/step at 2.9M entries on v5e.
     ecol = colors
     if c < 4:
         ecol = jnp.pad(ecol, ((0, 0), (0, 4 - c)))
@@ -409,7 +411,7 @@ def rasterize_pallas(
             jnp.zeros((n, ROWS - 10), xys.dtype),
         ],
         axis=1,
-    ).astype(jnp.float32)
+    ).astype(jnp.float32)[bins.order]
     table = jnp.concatenate([per_splat, jnp.zeros((1, ROWS), jnp.float32)])
     safe = jnp.where(ids < 0, n, ids)
     attr_cols = table[safe]

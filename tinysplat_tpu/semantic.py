@@ -3,9 +3,11 @@
 Same cache-or-compute contract as the depth estimator. The reference module
 (/root/reference/tinysplat/semantic.py) is dead code — never imported, and
 missing its os/np/tqdm imports so it would crash on first use (SURVEY.md
-section 2.1). This version is wired (scripts/train.py exposes the same
---semantic-path / --semantic-model flags) and supports an injectable backend
-so the cache/assignment logic is testable without downloading weights.
+section 2.1). This version works: same cache-or-compute contract, injectable
+backend so the logic is testable without downloading weights. The CLI keeps
+the reference's --semantic-path / --semantic-model flags (which the reference
+also never consumes in its training loop); library users call
+SemanticSegmenter(scene, ...) directly.
 """
 from __future__ import annotations
 
