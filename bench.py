@@ -47,6 +47,10 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
             params, state.alive, cam, height, width,
             active_sh_degree=jnp.int32(3), background=background,
             rasterizer=backend,
+            # ~1.6M intersections use ~10.6k aligned blocks; 16k gives 1.5x
+            # headroom while halving the worst-case static worklist (the
+            # entry gather / grad scatter / kernel grid all scale with it).
+            flat_blocks=16384,
         )
         return jnp.sum(rgb) + jnp.sum(extras["depth"])
 

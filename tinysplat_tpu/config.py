@@ -95,6 +95,7 @@ class Config:
     # binning cost proportionally (diagnostics report overflow counts).
     dup_capacity: int = 0
     max_per_tile: int = 0
+    flat_blocks: int = 0  # pallas worklist block budget (0 = worst case)
     viewdirs_mode: str = "reference"  # see render.compute_viewdirs
     mesh_tile: int = 1  # mesh axis size: image-tile (pixel) sharding
     mesh_splat: int = 1  # mesh axis size: splat sharding

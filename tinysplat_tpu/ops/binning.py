@@ -265,6 +265,7 @@ def bin_splats_flat(
     chunk: int = 128,
     dup_capacity: int = 0,
     max_per_tile: int = 0,
+    flat_blocks: int = 0,
 ) -> FlatBins:
     """Build the chunk-aligned flat intersection layout (see FlatBins).
 
@@ -272,6 +273,13 @@ def bin_splats_flat(
     to ``aligned_start[tile] + within_rank`` where aligned starts are the
     exclusive cumsum of per-tile padded counts ``max(chunk,
     ceil(min(count, max_per_tile)/chunk)*chunk)``.
+
+    ``flat_blocks`` caps the static worklist size (default 0 = the
+    overflow-proof worst case ``flat_num_blocks(dup_capacity, num_tiles,
+    chunk)``). Every downstream per-entry op (attr gather, kernel grid, grad
+    scatter) scales with this static size, and typical scenes use well under
+    half the worst case — set it from observed ``num_blocks_used`` (x1.5
+    headroom) and watch ``dup_overflow`` for the recompile-and-grow signal.
     """
     n = xys.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -293,6 +301,8 @@ def bin_splats_flat(
     seg_ends = jnp.cumsum(padded)
     seg_starts = seg_ends - padded
     num_blocks = flat_num_blocks(dup_capacity, num_tiles, chunk)
+    if flat_blocks > 0:
+        num_blocks = min(num_blocks, flat_blocks)
     flat_size = num_blocks * chunk
 
     # Aligned base per entry, gather-free: bases are increasing in tile id,
@@ -323,12 +333,15 @@ def bin_splats_flat(
     block_starts_of_tile = (seg_starts // chunk).astype(jnp.int32)
     block_first = (blocks == block_starts_of_tile[block_tile]).astype(jnp.int32)
     # Unused trailing blocks must not re-initialize the last tile's output.
-    used = block_ends[num_tiles - 1]
+    used_full = block_ends[num_tiles - 1]
+    used = jnp.minimum(used_full, num_blocks)
     block_first = jnp.where(blocks < used, block_first, 0)
+    flat_dropped = jnp.maximum(used_full - num_blocks, 0) * chunk
 
     dup_overflow = (
         jnp.maximum(total - sorted_tile.shape[0], 0).astype(jnp.int32)
         + span_overflow
+        + flat_dropped.astype(jnp.int32)
     )
     tile_overflow = jnp.sum(full_counts - counts).astype(jnp.int32)
     return FlatBins(

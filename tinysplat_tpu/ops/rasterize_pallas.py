@@ -367,6 +367,7 @@ def rasterize_pallas(
     chunk: int = 128,
     dup_capacity: int = 0,
     max_per_tile: int = 0,
+    flat_blocks: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Rasterize to (H, W, C<=4) image + (H, W) alpha; dense-oracle semantics.
 
@@ -383,10 +384,13 @@ def rasterize_pallas(
         dup_capacity = 8 * n
     dup_capacity = (dup_capacity + chunk - 1) // chunk * chunk
     num_blocks = flat_num_blocks(dup_capacity, num_tiles, chunk)
+    if flat_blocks > 0:
+        num_blocks = min(num_blocks, flat_blocks)
 
     bins = bin_splats_flat(
         xys, depths, radii, valid, tiles_x, tiles_y, TILE,
         chunk=chunk, dup_capacity=dup_capacity, max_per_tile=max_per_tile,
+        flat_blocks=flat_blocks,
     )
     ids = bins.entry_splat  # (num_blocks * chunk,) DEPTH RANKS
 

@@ -99,6 +99,8 @@ def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, 
     kw = {"dup_capacity": cfg.dup_capacity, "max_per_tile": cfg.max_per_tile}
     if cfg.rasterizer == "pallas":
         from ..ops.rasterize_pallas import rasterize_pallas as fn
+
+        kw["flat_blocks"] = cfg.flat_blocks
     else:
         from ..ops.rasterize import rasterize_tiled as fn
 

@@ -69,6 +69,7 @@ def render(
     tile_size: int = 16,
     dup_capacity: int = 0,
     max_per_tile: int = 0,
+    flat_blocks: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Render an (H, W, 3) image (+ extras) from Gaussian parameters.
 
@@ -133,6 +134,7 @@ def render(
             xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
             img_height, img_width, bg4,
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
+            flat_blocks=flat_blocks,
         )
     else:
         raise ValueError(f"Unknown rasterizer backend: {rasterizer}")
