@@ -97,6 +97,14 @@ async def main() -> None:
 
     scene, pcd = build_scene(cfg)
 
+    eval_cameras = []
+    if cfg.eval_holdout > 1:
+        # Standard llff-style split: every k-th camera held out for eval.
+        all_cams = scene.cameras
+        eval_cameras = all_cams[:: cfg.eval_holdout]
+        scene.cameras = [c for i, c in enumerate(all_cams)
+                         if i % cfg.eval_holdout != 0]
+
     opt_state, start_step, rng_key = None, 0, None
     if cfg.load_checkpoint:
         from tinysplat_tpu.io.checkpoint import load_checkpoint
@@ -125,6 +133,7 @@ async def main() -> None:
                               mesh=mesh)
     else:
         trainer = Trainer(cfg, scene, state, opt_state, start_step, rng_key)
+    trainer.eval_cameras = eval_cameras
     scene.render_fn = lambda camera, dims=None: trainer.render_camera(camera, dims)
 
     coroutines = []

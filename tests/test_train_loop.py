@@ -113,3 +113,33 @@ def test_grow_opt_state_pads_capacity_leaves():
     assert float(mu[32:].sum()) == 0.0  # new slots zeroed
     # Scalar leaves (Adam step count) untouched.
     assert grown[0].count.shape == ()
+
+
+def test_budget_autotune_shrinks_and_grows():
+    scene = _toy_scene()
+    cfg = _cfg(rasterizer="tiled", max_iter=8)
+    pcd = synthetic_pcd(80, seed=2)
+    # Oversized capacity -> default budget 8*2048 is far beyond the toy
+    # scene's few hundred intersections -> the tuner must shrink it.
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=2048)
+    tr = Trainer(cfg, scene, state)
+    tr.interval_densify = 2  # retune cadence
+    tr.run(4)
+    assert tr.cfg.dup_capacity != 0
+    assert tr.cfg.dup_capacity < 8 * tr.state.capacity
+    # Steps keep running after the retune recompile.
+    tr.run(6)
+    assert tr.step == 6
+
+
+def test_holdout_evaluation():
+    scene = _toy_scene(n_cams=4)
+    cfg = _cfg()
+    pcd = synthetic_pcd(80, seed=2)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=128)
+    tr = Trainer(cfg, scene, state)
+    tr.eval_cameras = [scene.cameras[0]]
+    out = tr.evaluate()
+    assert "eval_psnr" in out and np.isfinite(out["eval_psnr"])
+    assert 0.0 <= out["eval_ssim"] <= 1.0
+    assert out["num_eval_cameras"] == 1

@@ -65,8 +65,13 @@ def rasterize_tiled(
     chunk: int = 32,
     dup_capacity: int = 0,
     max_per_tile: int = 0,
-) -> Tuple[jax.Array, jax.Array]:
-    """Rasterize to (H, W, C) image + (H, W) alpha; dense-oracle semantics."""
+    return_diagnostics: bool = False,
+):
+    """Rasterize to (H, W, C) image + (H, W) alpha; dense-oracle semantics.
+
+    With return_diagnostics, also returns {'intersections', 'dropped'}
+    device scalars (budget auto-tuning; fetch asynchronously).
+    """
     tiles_x = (img_width + tile_size - 1) // tile_size
     tiles_y = (img_height + tile_size - 1) // tile_size
     num_tiles = tiles_x * tiles_y
@@ -143,4 +148,12 @@ def rasterize_tiled(
     alpha_img = jnp.transpose(alpha_img, (0, 2, 1, 3)).reshape(
         tiles_y * tile_size, tiles_x * tile_size
     )
-    return img[:img_height, :img_width], alpha_img[:img_height, :img_width]
+    img_out = img[:img_height, :img_width]
+    alpha_out = alpha_img[:img_height, :img_width]
+    if return_diagnostics:
+        diag = {
+            "intersections": bins.total_intersections,
+            "dropped": bins.dup_overflow + bins.tile_overflow,
+        }
+        return img_out, alpha_out, diag
+    return img_out, alpha_out

@@ -368,10 +368,13 @@ def rasterize_pallas(
     dup_capacity: int = 0,
     max_per_tile: int = 0,
     flat_blocks: int = 0,
-) -> Tuple[jax.Array, jax.Array]:
+    return_diagnostics: bool = False,
+):
     """Rasterize to (H, W, C<=4) image + (H, W) alpha; dense-oracle semantics.
 
-    Drop-in for :func:`rasterize_tiled` (16x16 tiles only).
+    Drop-in for :func:`rasterize_tiled` (16x16 tiles only). With
+    return_diagnostics, also returns {'intersections', 'dropped'} device
+    scalars (budget auto-tuning; fetch asynchronously).
     """
     n = xys.shape[0]
     c = colors.shape[-1]
@@ -457,4 +460,12 @@ def rasterize_pallas(
     )
     alpha = (1.0 - t_final).reshape(tiles_y, tiles_x, TILE, TILE)
     alpha = jnp.transpose(alpha, (0, 2, 1, 3)).reshape(tiles_y * TILE, tiles_x * TILE)
-    return img[:img_height, :img_width, :c], alpha[:img_height, :img_width]
+    img_out = img[:img_height, :img_width, :c]
+    alpha_out = alpha[:img_height, :img_width]
+    if return_diagnostics:
+        diag = {
+            "intersections": bins.total_intersections,
+            "dropped": bins.dup_overflow + bins.tile_overflow,
+        }
+        return img_out, alpha_out, diag
+    return img_out, alpha_out

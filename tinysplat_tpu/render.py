@@ -112,6 +112,7 @@ def render(
     colors4 = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
     bg4 = jnp.concatenate([background, background[:1]], axis=-1)
 
+    diag = None
     if rasterizer == "dense":
         from .ops.rasterize_dense import rasterize_dense
 
@@ -122,19 +123,21 @@ def render(
     elif rasterizer == "tiled":
         from .ops.rasterize import rasterize_tiled
 
-        img4, alpha = rasterize_tiled(
+        img4, alpha, diag = rasterize_tiled(
             xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
             img_height, img_width, bg4, tile_size=tile_size,
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
+            return_diagnostics=True,
         )
     elif rasterizer == "pallas":
         from .ops.rasterize_pallas import rasterize_pallas
 
-        img4, alpha = rasterize_pallas(
+        img4, alpha, diag = rasterize_pallas(
             xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
             img_height, img_width, bg4,
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
             flat_blocks=flat_blocks,
+            return_diagnostics=True,
         )
     else:
         raise ValueError(f"Unknown rasterizer backend: {rasterizer}")
@@ -149,4 +152,6 @@ def render(
         "depths": proj.depths,
         "camera": {"height": img_height, "width": img_width},
     }
+    if diag is not None:
+        extras["binning"] = diag
     return rgb, extras

@@ -123,6 +123,9 @@ def compute_losses(
         "depth": extras["depth"],
         "alpha": extras["alpha"],
     }
+    if "binning" in extras:
+        aux["n_intersections"] = extras["binning"]["intersections"]
+        aux["n_dropped"] = extras["binning"]["dropped"]
 
     # Depth-guided regularization (Chung et al.; train.py:65-69).
     if cfg.regularize_depth and est_depth is not None:
@@ -212,7 +215,8 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
             "psnr": psnr(aux["rgb"], gt_image),
             "num_live": new_state.num_live(),
         }
-        for k in ("loss_depth", "loss_opacity", "loss_density"):
+        for k in ("loss_depth", "loss_opacity", "loss_density",
+                  "n_intersections", "n_dropped"):
             if k in aux:
                 metrics[k] = aux[k]
         return StepOutput(new_state, new_opt_state, metrics, aux["rgb"])

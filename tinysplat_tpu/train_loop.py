@@ -106,6 +106,8 @@ class Trainer:
         self.interval_densify = len(scene.cameras) or cfg.interval_densify
         self._timestamp = time.strftime("%Y_%m_%d-%H_%M_%S")
         self.last_rendered = None
+        self.eval_cameras: List[Camera] = []
+        self._last_diag = None  # (intersections, dropped) device scalars
 
     # -- jit cache -------------------------------------------------------------
 
@@ -196,8 +198,11 @@ class Trainer:
         self.state, self.opt_state = out.state, out.opt_state
         self.last_rendered = out.rendered
         self.metrics.update(self.step, out.metrics)
+        if "n_intersections" in out.metrics:
+            self._last_diag = (out.metrics["n_intersections"], out.metrics["n_dropped"])
 
         self._maybe_densify()
+        self._maybe_retune_budgets()
         if (
             cfg.interval_opacity_reset > 0
             and self.step % cfg.interval_opacity_reset == 0
@@ -219,6 +224,7 @@ class Trainer:
         end = max_iter if max_iter is not None else self.cfg.max_iter
         while self.step < end:
             self.train_step()
+            self._maybe_eval()
 
     async def run_async(self, max_iter: Optional[int] = None) -> None:
         """Cooperative variant interleaving with the viewer server
@@ -228,7 +234,71 @@ class Trainer:
         end = max_iter if max_iter is not None else self.cfg.max_iter
         while self.step < end:
             self.train_step()
+            self._maybe_eval()
             await asyncio.sleep(0)
+
+    def _maybe_eval(self) -> None:
+        if (self.cfg.eval_interval and self.eval_cameras
+                and self.step % self.cfg.eval_interval == 0):
+            self.evaluate()
+
+    # -- binning budget auto-tune --------------------------------------------------
+
+    def _maybe_retune_budgets(self) -> None:
+        """Adapt the static intersection budget to the observed workload.
+
+        The binning/rasterization cost scales with the static dup_capacity
+        (NOTES.md); the reference's CUDA backend allocates exactly per frame,
+        which XLA cannot. Instead: once per epoch, fetch the step's
+        intersection diagnostics and retune to ~2x the observed count —
+        growing immediately when entries were dropped (quality), shrinking
+        when under 25% utilized (speed). Each retune is one recompile.
+        """
+        if self._last_diag is None or self.step % self.interval_densify != 0:
+            return
+        import dataclasses as _dc
+
+        inter, dropped = (int(jax.device_get(x)) for x in self._last_diag)
+        self._last_diag = None
+        n = self.state.capacity
+        current = self.cfg.dup_capacity or 8 * n
+        target = None
+        if dropped > 0:
+            target = max(2 * inter + dropped, current * 2)
+        elif inter > 0 and inter < current // 4 and current > 2 * n:
+            target = max(2 * inter, 2 * n)
+        if target is None or target == current:
+            return
+        target = (target + 127) // 128 * 128
+        log.info("retuning dup_capacity %d -> %d (intersections %d, dropped %d)",
+                 current, target, inter, dropped)
+        self.cfg = _dc.replace(self.cfg, dup_capacity=target, flat_blocks=0)
+        self._step_fns.clear()
+
+    # -- held-out evaluation ---------------------------------------------------------
+
+    def evaluate(self, cameras: Optional[List[Camera]] = None) -> Dict[str, float]:
+        """Mean PSNR/SSIM over held-out cameras (black background, the 3DGS
+        convention). The reference has no evaluation path at all."""
+        from .ops.ssim import psnr as psnr_fn, ssim as ssim_fn
+
+        cams = cameras if cameras is not None else self.eval_cameras
+        if not cams:
+            return {}
+        psnrs, ssims = [], []
+        for cam in cams:
+            rgb, _ = self.render_camera(cam)
+            gt = jnp.asarray(cam.get_original_image((cam.width, cam.height)))
+            psnrs.append(psnr_fn(rgb, gt))
+            ssims.append(ssim_fn(rgb, gt))
+        out = {
+            "eval_psnr": float(np.mean(jax.device_get(psnrs))),
+            "eval_ssim": float(np.mean(jax.device_get(ssims))),
+            "num_eval_cameras": len(cams),
+        }
+        log.info("eval @ step %d: PSNR %.2f SSIM %.4f (%d cams)",
+                 self.step, out["eval_psnr"], out["eval_ssim"], len(cams))
+        return out
 
     # -- rendering for eval / viewer ---------------------------------------------
 
