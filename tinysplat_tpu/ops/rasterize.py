@@ -153,7 +153,8 @@ def rasterize_tiled(
     if return_diagnostics:
         diag = {
             "intersections": bins.total_intersections,
-            "dropped": bins.dup_overflow + bins.tile_overflow,
+            "dup_dropped": bins.dup_overflow,
+            "tile_dropped": bins.tile_overflow,
         }
         return img_out, alpha_out, diag
     return img_out, alpha_out

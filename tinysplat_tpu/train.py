@@ -125,7 +125,8 @@ def compute_losses(
     }
     if "binning" in extras:
         aux["n_intersections"] = extras["binning"]["intersections"]
-        aux["n_dropped"] = extras["binning"]["dropped"]
+        aux["n_dup_dropped"] = extras["binning"]["dup_dropped"]
+        aux["n_tile_dropped"] = extras["binning"]["tile_dropped"]
 
     # Depth-guided regularization (Chung et al.; train.py:65-69).
     if cfg.regularize_depth and est_depth is not None:
@@ -216,7 +217,7 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
             "num_live": new_state.num_live(),
         }
         for k in ("loss_depth", "loss_opacity", "loss_density",
-                  "n_intersections", "n_dropped"):
+                  "n_intersections", "n_dup_dropped", "n_tile_dropped"):
             if k in aux:
                 metrics[k] = aux[k]
         return StepOutput(new_state, new_opt_state, metrics, aux["rgb"])

@@ -107,7 +107,8 @@ class Trainer:
         self._timestamp = time.strftime("%Y_%m_%d-%H_%M_%S")
         self.last_rendered = None
         self.eval_cameras: List[Camera] = []
-        self._last_diag = None  # (intersections, dropped) device scalars
+        self._last_diag = None  # (intersections, dup_dropped, tile_dropped)
+        self._no_shrink_until = 0  # hysteresis after a budget grow
 
     # -- jit cache -------------------------------------------------------------
 
@@ -199,7 +200,9 @@ class Trainer:
         self.last_rendered = out.rendered
         self.metrics.update(self.step, out.metrics)
         if "n_intersections" in out.metrics:
-            self._last_diag = (out.metrics["n_intersections"], out.metrics["n_dropped"])
+            self._last_diag = (out.metrics["n_intersections"],
+                               out.metrics["n_dup_dropped"],
+                               out.metrics["n_tile_dropped"])
 
         self._maybe_densify()
         self._maybe_retune_budgets()
@@ -258,21 +261,40 @@ class Trainer:
             return
         import dataclasses as _dc
 
-        inter, dropped = (int(jax.device_get(x)) for x in self._last_diag)
+        inter, dup_dropped, tile_dropped = (
+            int(jax.device_get(x)) for x in self._last_diag
+        )
         self._last_diag = None
         n = self.state.capacity
         current = self.cfg.dup_capacity or 8 * n
-        target = None
-        if dropped > 0:
-            target = max(2 * inter + dropped, current * 2)
-        elif inter > 0 and inter < current // 4 and current > 2 * n:
-            target = max(2 * inter, 2 * n)
-        if target is None or target == current:
+        changes = {}
+        if dup_dropped > 0:
+            changes["dup_capacity"] = max(2 * (inter + dup_dropped), current * 2)
+        elif (inter > 0 and inter < current // 4 and current > 2 * n
+              and self.step >= self._no_shrink_until):
+            changes["dup_capacity"] = max(2 * inter, 2 * n)
+        if tile_dropped > 0:
+            # Deepest entries of crowded tiles were clipped: raise the
+            # per-tile list budget (a separate knob from the total budget).
+            cam = self.scene.cameras[0]
+            num_tiles = max(
+                ((cam.width + 15) // 16) * ((cam.height + 15) // 16), 1
+            )
+            eff = self.cfg.max_per_tile or min(
+                4096, max((self.cfg.dup_capacity or 8 * n) // num_tiles, 256)
+            )
+            changes["max_per_tile"] = min(2 * eff, 16384)
+        if not changes:
             return
-        target = (target + 127) // 128 * 128
-        log.info("retuning dup_capacity %d -> %d (intersections %d, dropped %d)",
-                 current, target, inter, dropped)
-        self.cfg = _dc.replace(self.cfg, dup_capacity=target, flat_blocks=0)
+        if "dup_capacity" in changes:
+            changes["dup_capacity"] = (changes["dup_capacity"] + 127) // 128 * 128
+        if changes.get("dup_capacity", current) > current or "max_per_tile" in changes:
+            self._no_shrink_until = self.step + 3 * self.interval_densify
+        log.info(
+            "retuning budgets %s (intersections %d, dup_dropped %d, tile_dropped %d)",
+            changes, inter, dup_dropped, tile_dropped,
+        )
+        self.cfg = _dc.replace(self.cfg, flat_blocks=0, **changes)
         self._step_fns.clear()
 
     # -- held-out evaluation ---------------------------------------------------------
