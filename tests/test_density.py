@@ -145,3 +145,15 @@ def test_density_loss_runs_and_differentiates():
     val2, grads2 = jax.value_and_grad(f_sdf)(params)
     assert np.isfinite(float(val2))
     assert np.isfinite(np.asarray(grads2.scales)).all()
+
+
+def test_covariance_inverse_analytic():
+    from tinysplat_tpu.regularizers import covariance_inverse
+
+    params = _params(12)
+    inv = np.asarray(covariance_inverse(params))
+    R = np.asarray(quat_to_rotmat(params.quats))
+    s2 = np.exp(2 * np.asarray(params.scales))
+    sigma = np.einsum("nij,nj,nkj->nik", R, s2, R)
+    prod = np.einsum("nij,njk->nik", inv, sigma)
+    np.testing.assert_allclose(prod, np.broadcast_to(np.eye(3), prod.shape), atol=1e-4)

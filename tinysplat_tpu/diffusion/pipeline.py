@@ -160,6 +160,26 @@ class TinysplatDiffusionPipeline:
         return self.vae.apply(p["vae"], latents, method=AutoencoderKL.decode)
 
 
+def prepare_feature_latents(
+    feature_encoder: FeatureVolumeEncoder,
+    feature_aggregator: FeatureAggregator,
+    params: Dict[str, Any],
+    target_cameras: CameraParams,
+    input_cameras: CameraParams,
+    input_images: jax.Array,
+    do_classifier_free_guidance: bool = False,
+) -> jax.Array:
+    """Standalone feature-latent builder (reference model_diffusion.py:437-452):
+    encode + aggregate, duplicating with a zeroed copy under CFG."""
+    feats, xyz = feature_encoder.apply(
+        params["fe"], target_cameras, input_images, input_cameras
+    )
+    out = feature_aggregator.apply(params["fa"], feats, xyz)
+    if do_classifier_free_guidance:
+        out = jnp.concatenate([jnp.zeros_like(out), out])
+    return out
+
+
 def _dummy_cams(b: int) -> CameraParams:
     eye = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
     proj = jnp.broadcast_to(

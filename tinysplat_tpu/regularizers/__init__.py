@@ -1,6 +1,7 @@
 """Regularizers: depth-guided (Chung et al. 2023) lives inline in the train
 steps; SuGaR-style density/SDF (Guédon & Lepetit 2023) lives here."""
 from .density import (
+    covariance_inverse,
     DensityProbe,
     approximate_density,
     density_at_points,
@@ -11,6 +12,7 @@ from .density import (
 )
 
 __all__ = [
+    "covariance_inverse",
     "DensityProbe",
     "approximate_density",
     "density_at_points",

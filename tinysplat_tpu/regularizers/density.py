@@ -38,6 +38,19 @@ from ..models.gaussians import GaussianParams
 from ..utils.quaternions import quat_to_rotmat
 
 
+def covariance_inverse(params: GaussianParams) -> jax.Array:
+    """(N, 3, 3) inverse covariances Sigma^{-1} = R diag(s^-2) R^T.
+
+    API counterpart of the reference ``GaussianModel.covariance``
+    (model_gaussian.py:247-255), which materializes Sigma and calls
+    ``.inverse()`` with a pinverse fallback; for the R S^2 R^T
+    parameterization the inverse is analytic and exact.
+    """
+    R = quat_to_rotmat(params.quats)
+    inv_s2 = jnp.exp(-2.0 * params.scales)
+    return jnp.einsum("nij,nj,nkj->nik", R, inv_s2, R)
+
+
 class DensityProbe(NamedTuple):
     """Cached per-interval density-regularizer inputs (train.py:79-81)."""
 
