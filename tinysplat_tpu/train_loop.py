@@ -230,13 +230,19 @@ class Trainer:
             self._maybe_eval()
 
     async def run_async(self, max_iter: Optional[int] = None) -> None:
-        """Cooperative variant interleaving with the viewer server
-        (reference train.py:127 yields to the asyncio loop every step)."""
+        """Cooperative variant interleaving with the viewer server.
+
+        The reference yields to the event loop between steps
+        (train.py:127); that is not enough under XLA, where a single
+        compile can block for minutes and starve the viewer's sockets.
+        Steps run in a worker thread (JAX releases the GIL during
+        compilation and execution), so the loop stays responsive."""
         import asyncio
 
+        loop = asyncio.get_running_loop()
         end = max_iter if max_iter is not None else self.cfg.max_iter
         while self.step < end:
-            self.train_step()
+            await loop.run_in_executor(None, self.train_step)
             self._maybe_eval()
             await asyncio.sleep(0)
 
@@ -325,12 +331,28 @@ class Trainer:
     # -- rendering for eval / viewer ---------------------------------------------
 
     def render_camera(self, camera: Camera, dims=None, background=None):
-        from .render import render
-
+        """Jitted inference render (viewer / eval). One compiled executable
+        per image shape — an unjitted render would dispatch hundreds of ops
+        eagerly, which costs minutes per frame over a tunneled TPU."""
         w, h = dims if dims is not None else (camera.width, camera.height)
         bg = background if background is not None else jnp.zeros(3)
-        return render(
-            self.state.params, self.state.alive, camera.params(), h, w,
-            self.state.active_sh_degree, bg, rasterizer=self.cfg.rasterizer,
-            viewdirs_mode=self.cfg.viewdirs_mode, tile_size=self.cfg.tile_size,
+        key = ("render", h, w, self.cfg.rasterizer)
+        if key not in self._step_fns:
+            from .render import render as _render
+
+            cfg = self.cfg
+
+            @jax.jit
+            def render_fn(params, alive, cam_params, active_deg, bg):
+                return _render(
+                    params, alive, cam_params, h, w, active_deg, bg,
+                    rasterizer=cfg.rasterizer, viewdirs_mode=cfg.viewdirs_mode,
+                    tile_size=cfg.tile_size, dup_capacity=cfg.dup_capacity,
+                    max_per_tile=cfg.max_per_tile, flat_blocks=cfg.flat_blocks,
+                )
+
+            self._step_fns[key] = render_fn
+        return self._step_fns[key](
+            self.state.params, self.state.alive, camera.params(),
+            self.state.active_sh_degree, bg,
         )

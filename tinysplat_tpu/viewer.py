@@ -107,7 +107,13 @@ class Viewer:
                     np.asarray(msg["quat"], np.float32),
                 )
             try:
-                rgb, _ = self.scene.render(client.camera)
+                # Renders (and their first-time compiles) run in a worker
+                # thread so the event loop keeps serving sockets; JAX
+                # execution is thread-safe and releases the GIL.
+                loop = asyncio.get_running_loop()
+                rgb, _ = await loop.run_in_executor(
+                    None, self.scene.render, client.camera
+                )
                 img = np.asarray(rgb)
             except Exception:  # keep serving on render errors
                 log.exception("viewer render failed")
@@ -125,7 +131,12 @@ class Viewer:
             pass
         import websockets
 
-        self.server = await websockets.serve(self.handle_client, self.ip, self.port)
+        # ping_interval=None: XLA compiles can block the event loop for
+        # minutes (unlike the reference's fast CUDA launches); default
+        # websocket keepalives would kill every client mid-compile.
+        self.server = await websockets.serve(
+            self.handle_client, self.ip, self.port, ping_interval=None
+        )
         log.info("viewer listening on ws://%s:%d", self.ip, self.port)
         asyncio.create_task(self.process_queue())
         await self.server.wait_closed()
