@@ -10,7 +10,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..cameras import Camera, make_view_matrix
+from ..cameras import Camera
 from ..scene import PointCloud
 
 

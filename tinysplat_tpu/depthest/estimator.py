@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Optional
-
 import numpy as np
 
 from .align import match_scale, match_scale_disparity

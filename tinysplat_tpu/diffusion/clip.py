@@ -10,7 +10,7 @@ embeddings instead.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

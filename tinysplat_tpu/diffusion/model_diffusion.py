@@ -20,7 +20,7 @@ objects and decodes images inside forward; here cameras arrive as batched
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ or a user-supplied checkpoint.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax

@@ -8,8 +8,6 @@ schedule (the Stable-Diffusion default); all state is precomputed arrays so
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

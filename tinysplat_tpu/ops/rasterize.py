@@ -28,8 +28,6 @@ kernel's sorted index buffers.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

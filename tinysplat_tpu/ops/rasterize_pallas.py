@@ -37,8 +37,6 @@ them back to the per-splat arrays via ordinary autodiff.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

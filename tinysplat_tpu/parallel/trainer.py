@@ -14,13 +14,11 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import Config
-from ..models.gaussians import GaussianState, grow_capacity
+from ..models.gaussians import GaussianState
 from ..scene import Scene
-from ..train import init_opt_state, make_optimizer
-from ..train_loop import Trainer, grow_opt_state
+from ..train_loop import Trainer
 from .sharding import make_mesh, shard_state
 from .train_step import make_sharded_train_step
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Callable, Optional, Union
+from typing import Callable, Union
 
 import numpy as np
 

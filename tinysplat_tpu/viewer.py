@@ -22,7 +22,7 @@ import base64
 import copy
 import json
 import logging
-from typing import Optional, Set
+from typing import Set
 
 import numpy as np
 
@@ -95,8 +95,6 @@ class Viewer:
         await self.queue.put((client, msg))
 
     async def process_queue(self) -> None:
-        import jax.numpy as jnp
-
         while True:
             client, msg = await self.queue.get()
             if client.camera is None:
