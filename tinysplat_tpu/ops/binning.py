@@ -134,7 +134,9 @@ def _sorted_intersections(
     span_rank = jax.lax.cummax(mark1)  # depth rank per span (monotone fill)
     mark1p = jnp.zeros((d1,), jnp.int32).at[starts1].max(starts1, mode="drop")
     row_idx = jnp.arange(d1, dtype=jnp.int32) - jax.lax.cummax(mark1p)
-    sp = packed[span_rank]  # (D1, 4) row gather at SPAN granularity only
+    # (D1, 4) row gather at SPAN granularity only; span_rank is monotone
+    # (cummax fill), so tell XLA the indices are sorted.
+    sp = jnp.take(packed, span_rank, axis=0, indices_are_sorted=True)
     span_len = sp[:, 1]
     span_base = (sp[:, 3] + row_idx) * tiles_x + sp[:, 2]  # first tile of row
     span_valid = jnp.arange(d1) < jnp.minimum(total_spans, d1)
