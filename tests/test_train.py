@@ -124,3 +124,36 @@ def test_schedule_gates_and_sh_ramp():
     # At step 10 with interval 5: active degree = min(3, 1 + 2) = 3
     assert int(out.state.active_sh_degree) == 3
     assert "loss_opacity" in out.metrics
+
+
+def test_means_lr_exponential_decay():
+    """3DGS-style position LR schedule (reference leaves it as a TODO)."""
+    import dataclasses
+
+    import optax
+
+    from tinysplat_tpu.config import Config
+    from tinysplat_tpu.models.gaussians import GaussianParams
+    from tinysplat_tpu.train import make_optimizer
+
+    cfg = Config(lr_means=1e-2, lr_means_final=1e-4, lr_means_decay_steps=100)
+    opt = make_optimizer(cfg)
+    params = GaussianParams(
+        means=jnp.zeros((4, 3)), colors_dc=jnp.zeros((4, 3)),
+        colors_rest=jnp.zeros((4, 0, 3)), scales=jnp.zeros((4, 3)),
+        quats=jnp.zeros((4, 4)), opacities=jnp.zeros((4, 1)),
+    )
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    # Huge-gradient regime: Adam's normalized update magnitude == LR.
+    updates0, state = opt.update(grads, state, params)
+    mag0 = float(jnp.abs(updates0.means).mean())
+    for _ in range(99):
+        updates, state = opt.update(grads, state, params)
+    mag_end = float(jnp.abs(updates.means).mean())
+    # First-step Adam bias correction makes mag0 ~ lr exactly.
+    assert 0.5e-2 < mag0 < 1.5e-2
+    assert 0.5e-4 < mag_end < 2.0e-4
+    # Non-means leaves keep their constant LR.
+    assert 0.5 * 0.0025 < float(jnp.abs(updates.colors_dc).mean()) < 1.5 * 0.0025

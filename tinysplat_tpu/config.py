@@ -37,6 +37,11 @@ class Config:
 
     # Learning rates (train.py:187-193)
     lr_means: float = 0.00016
+    # Exponential means-LR decay to lr_means_final over lr_means_decay_steps
+    # (3DGS position_lr schedule; the reference leaves update_learning_rate
+    # as a no-op TODO, model_gaussian.py:122-124). 0 = constant LR.
+    lr_means_final: float = 0.0
+    lr_means_decay_steps: int = 0
     lr_colors_dc: float = 0.0025
     lr_colors_rest: float = 0.000125
     lr_scales: float = 0.005

@@ -23,6 +23,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from numpy import log as np_log
 
 from .cameras import CameraParams
 from .config import Config
@@ -49,17 +50,32 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     Matches ``optim.Adam(model.parameters())`` with per-group LRs
     (reference scripts/train.py:26, model_gaussian.py:112-120):
     betas=(0.9, 0.999), eps=1e-8 added *outside* the sqrt (eps_root=0).
+
+    Optional 3DGS-style exponential means-LR decay (the reference's
+    ``update_learning_rate`` is a no-op TODO, scripts/train.py:48): with
+    lr_means_final > 0, the means LR interpolates log-linearly from lr_means
+    to lr_means_final over lr_means_decay_steps (default max_iter).
     """
     lrs = lr_tree(cfg)
+    decay_steps = cfg.lr_means_decay_steps or cfg.max_iter
+    use_decay = cfg.lr_means_final > 0.0 and decay_steps > 0
+    if use_decay:
+        log_ratio = float(np_log(cfg.lr_means_final / cfg.lr_means))
 
     def scale_init(params):
         del params
-        return optax.EmptyState()
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
 
     def scale_update(updates, state, params=None):
         del params
-        scaled = jax.tree.map(lambda g, lr: -lr * g, updates, lrs)
-        return scaled, state
+        if use_decay:
+            frac = jnp.clip(state.count / decay_steps, 0.0, 1.0)
+            means_lr = cfg.lr_means * jnp.exp(log_ratio * frac)
+            step_lrs = dataclasses.replace(lrs, means=means_lr)
+        else:
+            step_lrs = lrs
+        scaled = jax.tree.map(lambda g, lr: -lr * g, updates, step_lrs)
+        return scaled, optax.ScaleByScheduleState(count=state.count + 1)
 
     return optax.chain(
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0),
