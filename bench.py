@@ -47,10 +47,17 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
             params, state.alive, cam, height, width,
             active_sh_degree=jnp.int32(3), background=background,
             rasterizer=backend,
-            # ~1.6M intersections use ~10.6k aligned blocks; 16k gives 1.5x
-            # headroom while halving the worst-case static worklist (the
-            # entry gather / grad scatter / kernel grid all scale with it).
-            flat_blocks=16384,
+            # Tuned from measured diagnostics at this scene size (ellipse
+            # cull leaves ~1.12M intersections in ~13.6k aligned blocks,
+            # ~560k row spans) with >=1.1x headroom and ZERO dropped
+            # entries — the per-entry glue (attr gather, grad scatter,
+            # kernel grid, sorts) all scale with these static sizes.
+            # max_per_tile=2048 keeps every intersection (gsplat has no
+            # per-tile cap; tile_dropped stays 0 at this scene size).
+            flat_blocks=15360,
+            dup_capacity=1_572_864,
+            span_capacity=786_432,
+            max_per_tile=2048,
         )
         return jnp.sum(rgb) + jnp.sum(extras["depth"])
 

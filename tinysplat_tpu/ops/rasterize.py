@@ -63,6 +63,7 @@ def rasterize_tiled(
     chunk: int = 32,
     dup_capacity: int = 0,
     max_per_tile: int = 0,
+    span_capacity: int = 0,
     return_diagnostics: bool = False,
 ):
     """Rasterize to (H, W, C) image + (H, W) alpha; dense-oracle semantics.
@@ -80,6 +81,8 @@ def rasterize_tiled(
     bins = bin_splats(
         xys, depths, radii, valid, tiles_x, tiles_y, tile_size,
         dup_capacity=dup_capacity, max_per_tile=max_per_tile,
+        span_capacity=span_capacity,
+        conics=conics, opacities=opacities.reshape(-1),
     )
     k_max = bins.idx_lists.shape[1]
     num_chunks = (k_max + chunk - 1) // chunk

@@ -56,6 +56,38 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+@jax.custom_vjp
+def _gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Row gather ``table[ids]`` with a 16-bit forward trick.
+
+    XLA:TPU's gather emitter costs per INDEX but scales with row byte-width
+    below 4 bytes: gathering the table as bitcast int16 pairs and bitcasting
+    back is ~2.3x faster than the f32 row gather (measured v5e, 2M indices)
+    and reconstructs the rows EXACTLY (pure bit movement). The backward is
+    the same scatter-add the plain gather's autodiff transpose produces.
+    """
+    return table[ids]
+
+
+def _gather_rows_fwd(table, ids):
+    n, r = table.shape
+    t16 = jax.lax.bitcast_convert_type(table, jnp.int16).reshape(n, 2 * r)
+    g16 = t16[ids]
+    out = jax.lax.bitcast_convert_type(
+        g16.reshape(ids.shape[0], r, 2), jnp.float32
+    )
+    return out, (ids, n)
+
+
+def _gather_rows_bwd(res, g):
+    ids, n = res
+    dtable = jnp.zeros((n, g.shape[1]), g.dtype).at[ids].add(g)
+    return dtable, np.zeros(ids.shape, jax.dtypes.float0)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def _cumprod_lanes(x: jax.Array) -> jax.Array:
     """Inclusive cumulative product along axis=1 (lanes).
 
@@ -196,7 +228,19 @@ def _bwd_kernel(tiles_x: int, chunk: int, num_blocks: int,
         t_scr[:, 0:1] = t_final
         s_scr[:, 0:1] = g_tfinal * t_final
 
-    @pl.when(in_used)
+    # Dead-block skip: if every pixel's live prefix ends before this block
+    # (rank * chunk >= max n_contrib), all entries have zero weight AND zero
+    # gradient, and the T/s carries pass through unchanged (alpha == 0 =>
+    # om == 1). Saturated tails of dense tiles — the common case after a few
+    # front blocks — cost one zero-write instead of the full gradient math.
+    n_contrib_max = jnp.max(fwd_ref[0, 5:6, :])
+    dead = (block_rank[b] * chunk).astype(jnp.float32) >= n_contrib_max
+
+    @pl.when(in_used & dead)
+    def _():
+        dattrs_ref[0] = jnp.zeros((ROWS, chunk), jnp.float32)
+
+    @pl.when(in_used & jnp.logical_not(dead))
     def _():
         _bwd_block(tiles_x, chunk, tile, b, block_rank,
                    attrs, fwd_ref, gout_ref, dattrs_ref, t_scr, s_scr)
@@ -366,6 +410,7 @@ def rasterize_pallas(
     dup_capacity: int = 0,
     max_per_tile: int = 0,
     flat_blocks: int = 0,
+    span_capacity: int = 0,
     return_diagnostics: bool = False,
 ):
     """Rasterize to (H, W, C<=4) image + (H, W) alpha; dense-oracle semantics.
@@ -391,7 +436,8 @@ def rasterize_pallas(
     bins = bin_splats_flat(
         xys, depths, radii, valid, tiles_x, tiles_y, TILE,
         chunk=chunk, dup_capacity=dup_capacity, max_per_tile=max_per_tile,
-        flat_blocks=flat_blocks,
+        flat_blocks=flat_blocks, span_capacity=span_capacity,
+        conics=conics, opacities=opacities,
     )
     ids = bins.entry_splat  # (num_blocks * chunk,) DEPTH RANKS
 
@@ -419,7 +465,7 @@ def rasterize_pallas(
     ).astype(jnp.float32)[bins.order]
     table = jnp.concatenate([per_splat, jnp.zeros((1, ROWS), jnp.float32)])
     safe = jnp.where(ids < 0, n, ids)
-    attr_cols = table[safe]
+    attr_cols = _gather_rows(table, safe)
     attrs = jnp.swapaxes(attr_cols.reshape(num_blocks, chunk, ROWS), 1, 2)
 
     # Per-block metadata for the worklist.

@@ -70,6 +70,7 @@ def render(
     dup_capacity: int = 0,
     max_per_tile: int = 0,
     flat_blocks: int = 0,
+    span_capacity: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Render an (H, W, 3) image (+ extras) from Gaussian parameters.
 
@@ -127,6 +128,7 @@ def render(
             xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
             img_height, img_width, bg4, tile_size=tile_size,
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
+            span_capacity=span_capacity,
             return_diagnostics=True,
         )
     elif rasterizer == "pallas":
@@ -136,7 +138,7 @@ def render(
             xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
             img_height, img_width, bg4,
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
-            flat_blocks=flat_blocks,
+            flat_blocks=flat_blocks, span_capacity=span_capacity,
             return_diagnostics=True,
         )
     else:
