@@ -49,7 +49,7 @@ from .rasterize_dense import ALPHA_EPS, ALPHA_MAX, T_EPS
 TILE = 16
 P = TILE * TILE  # pixels per tile
 ROWS = 16  # attribute rows: [x, y, con_a, con_b, con_c, opac, c0..c3, pad..]
-OUT_ROWS = 8  # output rows: [c0..c3, T_final, n_contrib, pad, pad]
+OUT_ROWS = 8  # output rows: [c0..c3, T_final, n_contrib, last_contrib, pad]
 
 
 def _interpret() -> bool:
@@ -88,49 +88,75 @@ def _gather_rows_bwd(res, g):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-def _cumprod_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive cumulative product along axis=1 (lanes).
-
-    Log-step (Hillis-Steele) formulation — Mosaic has no native cumprod.
-    Lane count must be a power of two (enforced by the wrapper).
-    """
-    n = x.shape[1]
-    shift = 1
-    while shift < n:
-        shifted = jnp.concatenate([jnp.ones_like(x[:, :shift]), x[:, : n - shift]], axis=1)
-        x = x * shifted
-        shift *= 2
-    return x
+def _tri_ones(n: int) -> jax.Array:
+    """(n, n) upper-triangular ones (incl. diagonal): X @ U = inclusive scan."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (i <= j).astype(jnp.float32)
 
 
 def _cumsum_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive cumulative sum along axis=1 (lanes); see _cumprod_lanes."""
-    n = x.shape[1]
-    shift = 1
-    while shift < n:
-        shifted = jnp.concatenate([jnp.zeros_like(x[:, :shift]), x[:, : n - shift]], axis=1)
-        x = x + shifted
-        shift *= 2
-    return x
+    """Inclusive cumulative sum along axis=1 (lanes) — ONE MXU contraction
+    with the triangular ones matrix. The 7-step Hillis-Steele lane-shift
+    scan costs ~0.45 us per (256, 128) block on the VPU (lane shifts are
+    full-vreg permutes); the (P, C) x (C, C) matmul is ~4x cheaper and
+    accumulates in f32 (bf16_3x passes — f32-equivalent)."""
+    return jax.lax.dot_general(
+        x, _tri_ones(x.shape[1]), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
-def _pixel_coords(tile_id, tiles_x: int, dtype=jnp.float32):
-    """(P, 1) x and y pixel coordinates of a tile's pixels."""
+def _cumprod_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative product along axis=1 via exp2(cumsum(log2 x)).
+
+    Valid for x > 0 (compositing uses om = 1 - alpha >= 1e-3 wherever
+    alpha > 0, om == 1 at masked entries, so log2 in [-10, 0]); relative
+    error ~1e-6 vs the exact product chain — far inside the kernel's parity
+    tolerances. Underflow (sums below -126) flushes to 0 exactly like the
+    direct product chain."""
+    return jnp.exp2(_cumsum_lanes(jnp.log2(x)))
+
+
+def _shift_right_lanes(x: jax.Array, first: jax.Array) -> jax.Array:
+    """[first, x[:, 0], ..., x[:, -2]] — turns an inclusive scan into the
+    exclusive one without a (P, CHUNK) divide."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(first, (x.shape[0], 1)), x[:, :-1]], axis=1
+    )
+
+
+def _pixel_coords_local(dtype=jnp.float32):
+    """(P, 1) tile-LOCAL x and y pixel coordinates (0..TILE-1).
+
+    The kernels work in tile-local coordinates: the splat center is shifted
+    by the tile origin once per entry ((1, CHUNK) work) instead of adding the
+    origin to every pixel. Beyond saving VPU work, local coordinates keep
+    every quantity in the gradient moment expansion (see _bwd_block) at
+    O(TILE) magnitude, so the px^2-weighted MXU moments suffer no
+    catastrophic cancellation — with global pixel coordinates (up to ~4k)
+    the M2 - 2 g M1 + g^2 M0 recombination would lose ~4 digits.
+    """
     pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     lx = (pidx % TILE).astype(dtype)
     ly = (pidx // TILE).astype(dtype)
+    return lx, ly
+
+
+def _tile_origin(tile_id, tiles_x: int, dtype=jnp.float32):
     ox = ((tile_id % tiles_x) * TILE).astype(dtype)
     oy = ((tile_id // tiles_x) * TILE).astype(dtype)
-    return lx + ox, ly + oy
+    return ox, oy
 
 
-def _alphas(attrs, px, py):
+def _alphas(attrs, px, py, ox, oy):
     """Recompute (P, CHUNK) masked alphas from an attribute block.
 
-    Returns (alpha_masked, alpha_raw, exp_neg_sigma, dx, dy, grad_ok).
+    px/py are tile-LOCAL pixel coords; ox/oy the tile origin (scalars).
+    Returns (alpha_masked, exp_neg_sigma, gx_loc, gy_loc, dx, dy, grad_ok).
     """
-    gx = attrs[0:1, :]
-    gy = attrs[1:2, :]
+    gx = attrs[0:1, :] - ox  # (1, CHUNK) tile-local splat centers
+    gy = attrs[1:2, :] - oy
     ca = attrs[2:3, :]
     cb = attrs[3:4, :]
     cc = attrs[4:5, :]
@@ -144,11 +170,11 @@ def _alphas(attrs, px, py):
     keep = (sigma >= 0.0) & (alpha >= ALPHA_EPS)
     alpha_m = jnp.where(keep, alpha, 0.0)
     grad_ok = keep & (raw < ALPHA_MAX)  # min() clamps gradient at 0.999
-    return alpha_m, e, dx, dy, grad_ok
+    return alpha_m, e, gx, gy, dx, dy, grad_ok
 
 
 def _fwd_kernel(tiles_x: int, chunk: int,
-                block_tile, block_first, block_last, used,
+                block_tile, block_first, block_last, block_rank, used,
                 attrs_ref, out_ref, t_scr, n_scr):
     w = pl.program_id(0)
     tile = block_tile[w]
@@ -165,7 +191,7 @@ def _fwd_kernel(tiles_x: int, chunk: int,
     @pl.when(in_used & (block_first[w] == 1))
     def _():
         t_scr[:, 0:2] = jnp.ones((P, 2), jnp.float32)
-        n_scr[:, 0:1] = jnp.zeros((P, 1), jnp.float32)
+        n_scr[:, 0:2] = jnp.zeros((P, 2), jnp.float32)
         out_ref[0] = jnp.zeros((OUT_ROWS, P), jnp.float32)
 
     t_raw_in = t_scr[:, 1:2]  # (P, 1)
@@ -173,12 +199,13 @@ def _fwd_kernel(tiles_x: int, chunk: int,
     @pl.when(in_used & (jnp.max(t_raw_in) > T_EPS))
     def _():
         t_fro_in = t_scr[:, 0:1]
-        px, py = _pixel_coords(tile, tiles_x)
-        alpha, _, _, _, _ = _alphas(attrs, px, py)
+        px, py = _pixel_coords_local()
+        ox, oy = _tile_origin(tile, tiles_x)
+        alpha, _, _, _, _, _, _ = _alphas(attrs, px, py, ox, oy)
         om = 1.0 - alpha  # >= 1e-3 wherever alpha > 0 (clamped at 0.999)
         incl = t_raw_in * _cumprod_lanes(om)  # (P, CHUNK)
         live = incl > T_EPS  # exact CUDA early-exit rule
-        excl = incl / om
+        excl = _shift_right_lanes(incl, t_raw_in)
         wmat = jnp.where(live, alpha * excl, 0.0)
         colors = attrs[6:10, :]  # (4, CHUNK)
         contrib = jax.lax.dot_general(
@@ -196,65 +223,74 @@ def _fwd_kernel(tiles_x: int, chunk: int,
         n_scr[:, 0:1] = n_scr[:, 0:1] + jnp.sum(
             live.astype(jnp.float32), axis=1, keepdims=True
         )
+        # Per-pixel 1 + rank of the last entry that actually CONTRIBUTED
+        # (alpha > 0 and still live) — the CUDA kernel's last_contributor.
+        # Blocks past every pixel's last contributor are gradient-dead and
+        # get dropped from the backward worklist entirely (composite_bwd).
+        rank1 = (
+            block_rank[w] * chunk
+            + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        ).astype(jnp.float32) + 1.0
+        contrib = live & (alpha > 0.0)
+        lc = jnp.max(jnp.where(contrib, rank1, 0.0), axis=1, keepdims=True)
+        n_scr[:, 1:2] = jnp.maximum(n_scr[:, 1:2], lc)
 
     @pl.when(in_used & (block_last[w] == 1))
     def _():
         out_ref[0, 4:5, :] = jnp.swapaxes(t_scr[:, 0:1], 0, 1)
         out_ref[0, 5:6, :] = jnp.swapaxes(n_scr[:, 0:1], 0, 1)
+        out_ref[0, 6:7, :] = jnp.swapaxes(n_scr[:, 1:2], 0, 1)
 
 
-def _bwd_kernel(tiles_x: int, chunk: int, num_blocks: int,
-                block_tile, block_last, block_rank, used,
-                attrs_ref, fwd_ref, gout_ref, dattrs_ref, t_scr, s_scr):
+def _bwd_kernel(tiles_x: int, chunk: int,
+                eff_block, eff_tile, eff_rank, first_visit, n_live,
+                attrs_ref, fg_ref, dattrs_ref, t_scr, s_scr):
+    """Backward over a COMPACTED live-block worklist.
+
+    The caller (composite_bwd) drops every block past all of its tile's
+    live prefixes (their entries have zero weight and zero gradient, and
+    the T/s carries pass through them unchanged since alpha == 0 there) and
+    hands the surviving block ids, back-to-front, via the prefetched
+    ``eff_block`` worklist. Saturated tails of dense tiles — the common case
+    after a few front blocks — cost NOTHING here: no grid step, no DMA.
+    ``first_visit`` marks each tile's first (deepest live) worklist entry,
+    where the T/s carries are (re)seeded from the forward outputs; this is
+    exact because the skipped deeper blocks leave T at t_final. Steps past
+    ``n_live`` have their DMAs pinned to the last live block (the output
+    buffer then never switches away, so nothing garbage is flushed).
+
+    fg packs the forward outputs (rows 0:OUT_ROWS) and the composite
+    cotangent (rows OUT_ROWS:) for this tile — ONE tile-indexed DMA per
+    grid step instead of two.
+    """
     w = pl.program_id(0)
-    b = num_blocks - 1 - w
-    tile = block_tile[b]
+    tile = eff_tile[w]
     attrs = attrs_ref[0]  # (ROWS, CHUNK)
-    # The reverse walk visits the unused tail first; those blocks' DMAs are
-    # redirected to block 0 and their whole body is skipped (their dattrs
-    # stay unwritten — all their entry ids are -1, so the gather transpose
-    # scatter-adds any garbage into the discarded sentinel row).
-    in_used = b < used[0]
+    live = w < n_live[0]
 
-    @pl.when(w == 0)
+    @pl.when(live & (first_visit[w] == 1))
     def _():
-        t_scr[:, 0:1] = jnp.ones((P, 1), jnp.float32)
-        s_scr[:, 0:1] = jnp.zeros((P, 1), jnp.float32)
-
-    @pl.when(in_used & (block_last[b] == 1))
-    def _():
-        t_final = jnp.swapaxes(fwd_ref[0, 4:5, :], 0, 1)  # (P, 1)
-        g_tfinal = jnp.swapaxes(gout_ref[0, 4:5, :], 0, 1)
+        t_final = jnp.swapaxes(fg_ref[0, 4:5, :], 0, 1)  # (P, 1)
+        g_tfinal = jnp.swapaxes(fg_ref[0, OUT_ROWS + 4 : OUT_ROWS + 5, :], 0, 1)
         t_scr[:, 0:1] = t_final
         s_scr[:, 0:1] = g_tfinal * t_final
 
-    # Dead-block skip: if every pixel's live prefix ends before this block
-    # (rank * chunk >= max n_contrib), all entries have zero weight AND zero
-    # gradient, and the T/s carries pass through unchanged (alpha == 0 =>
-    # om == 1). Saturated tails of dense tiles — the common case after a few
-    # front blocks — cost one zero-write instead of the full gradient math.
-    n_contrib_max = jnp.max(fwd_ref[0, 5:6, :])
-    dead = (block_rank[b] * chunk).astype(jnp.float32) >= n_contrib_max
-
-    @pl.when(in_used & dead)
+    @pl.when(live)
     def _():
-        dattrs_ref[0] = jnp.zeros((ROWS, chunk), jnp.float32)
-
-    @pl.when(in_used & jnp.logical_not(dead))
-    def _():
-        _bwd_block(tiles_x, chunk, tile, b, block_rank,
-                   attrs, fwd_ref, gout_ref, dattrs_ref, t_scr, s_scr)
+        _bwd_block(tiles_x, chunk, tile, eff_rank[w],
+                   attrs, fg_ref, dattrs_ref, t_scr, s_scr)
 
 
-def _bwd_block(tiles_x, chunk, tile, b, block_rank,
-               attrs, fwd_ref, gout_ref, dattrs_ref, t_scr, s_scr):
-    px, py = _pixel_coords(tile, tiles_x)
-    alpha, e_negsig, dx, dy, grad_ok = _alphas(attrs, px, py)
+def _bwd_block(tiles_x, chunk, tile, block_rank,
+               attrs, fg_ref, dattrs_ref, t_scr, s_scr):
+    px, py = _pixel_coords_local()
+    ox, oy = _tile_origin(tile, tiles_x)
+    alpha, e_negsig, gx, gy, dx, dy, grad_ok = _alphas(attrs, px, py, ox, oy)
 
     # Live prefix from the saved per-pixel contribution count.
-    n_contrib = jnp.swapaxes(fwd_ref[0, 5:6, :], 0, 1)  # (P, 1)
+    n_contrib = jnp.swapaxes(fg_ref[0, 5:6, :], 0, 1)  # (P, 1)
     rank = (
-        block_rank[b] * chunk
+        block_rank * chunk
         + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     ).astype(jnp.float32)
     live = rank < n_contrib  # (P, CHUNK)
@@ -265,11 +301,16 @@ def _bwd_block(tiles_x, chunk, tile, b, block_rank,
     t_end = t_scr[:, 0:1]
     pm = _cumprod_lanes(om)
     total = pm[:, chunk - 1 : chunk]
-    t_start = t_end / total
-    t_before = t_start * (pm / om)  # (P, CHUNK) exclusive prefix
+    # total underflows to 0 for deep high-alpha blocks; every underflowed
+    # entry is past the live prefix (T < T_EPS long before f32 underflow),
+    # so clamping only affects masked lanes — but keeps t_before finite
+    # (inf * 0 would poison the dcol matmul with NaNs).
+    t_start = t_end / jnp.maximum(total, 1e-30)
+    pm_excl = _shift_right_lanes(pm, jnp.ones((P, 1), jnp.float32))
+    t_before = t_start * pm_excl  # (P, CHUNK) exclusive prefix
     wmat = alpha * t_before
 
-    g = gout_ref[0, 0:4, :]  # (4, P) composite cotangent
+    g = fg_ref[0, OUT_ROWS : OUT_ROWS + 4, :]  # (4, P) composite cotangent
     colors = attrs[6:10, :]
     # Q[p, k] = sum_c g[c, p] * colors[c, k]
     q = jax.lax.dot_general(
@@ -282,18 +323,45 @@ def _bwd_block(tiles_x, chunk, tile, b, block_rank,
 
     dalpha = q * t_before - s_after / om
     dsigma = jnp.where(grad_ok & live, -alpha * dalpha, 0.0)
-    dopac = jnp.where(grad_ok & live, dalpha * e_negsig, 0.0)
 
     ca = attrs[2:3, :]
     cb = attrs[3:4, :]
     cc = attrs[4:5, :]
-    # sigma = 0.5(a dx^2 + c dy^2) + b dx dy, dx = px - gx
-    dgx = jnp.sum(dsigma * -(ca * dx + cb * dy), axis=0, keepdims=True)
-    dgy = jnp.sum(dsigma * -(cc * dy + cb * dx), axis=0, keepdims=True)
-    dca = jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True)
-    dcb = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
-    dcc = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
-    dop = jnp.sum(dopac, axis=0, keepdims=True)
+    op = attrs[5:6, :]
+    # Per-splat gradients via the pixel-moment expansion: with
+    # dx = px - gx,   sum_p dsigma * dx = M1x - gx * M0, etc., where
+    # M* are contractions of dsigma against the FIXED local pixel basis
+    # [1, px, py, px^2, px*py, py^2]. One (6, P) x (P, CHUNK) MXU
+    # contraction replaces five P-axis VPU tree-reductions (DEFAULT f32
+    # precision on TPU is the 3-pass bf16 decomposition — f32-equivalent
+    # accuracy); tile-local coords keep the recombination cancellation-free
+    # (see _pixel_coords_local).
+    basis = jnp.concatenate(
+        [jnp.ones((P, 1), jnp.float32), px, py, px * px, px * py, py * py],
+        axis=1,
+    )  # (P, 6)
+    mom = jax.lax.dot_general(
+        basis, dsigma, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (6, CHUNK)
+    m0 = mom[0:1, :]
+    m1x = mom[1:2, :]
+    m1y = mom[2:3, :]
+    m2xx = mom[3:4, :]
+    m2xy = mom[4:5, :]
+    m2yy = mom[5:6, :]
+    # Opacity gradient, analytically: wherever grad_ok holds, alpha =
+    # op * e so d(alpha)/d(op) = e = alpha / op and therefore
+    # sum_p dalpha * e = -sum_p dsigma / op = -M0 / op (op > 0 for every
+    # real entry; pad/sentinel entries have M0 == 0).
+    dop = -m0 / jnp.maximum(op, 1e-30)
+    e1x = m1x - gx * m0  # = sum_p dsigma * dx
+    e1y = m1y - gy * m0
+    dgx = -(ca * e1x + cb * e1y)
+    dgy = -(cc * e1y + cb * e1x)
+    dca = 0.5 * (m2xx - 2.0 * gx * m1x + gx * gx * m0)
+    dcb = m2xy - gx * m1y - gy * m1x + gx * gy * m0
+    dcc = 0.5 * (m2yy - 2.0 * gy * m1y + gy * gy * m0)
     # dL/dcolors[c, k] = sum_p g[c, p] * w[p, k]
     dcol = jax.lax.dot_general(
         g, wmat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -315,19 +383,19 @@ def _make_pallas_fns(num_tiles: int, tiles_x: int, num_blocks: int, chunk: int):
     # Unused tail blocks (w >= used) redirect their attrs DMA to block 0,
     # which stays VMEM-resident across all of them — the tail costs neither
     # bandwidth nor compute (the kernels skip their bodies).
-    def fwd_attr_idx(w, bt, bf, bl, us):
+    def fwd_attr_idx(w, bt, bf, bl, br, us):
         return (jnp.where(w < us[0], w, 0), 0, 0)
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x, chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(num_blocks,),
             in_specs=[
                 pl.BlockSpec((1, ROWS, chunk), fwd_attr_idx),
             ],
             out_specs=pl.BlockSpec(
-                (1, OUT_ROWS, P), lambda w, bt, bf, bl, us: (bt[w], 0, 0)
+                (1, OUT_ROWS, P), lambda w, bt, bf, bl, br, us: (bt[w], 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((P, 128), jnp.float32),
@@ -338,22 +406,20 @@ def _make_pallas_fns(num_tiles: int, tiles_x: int, num_blocks: int, chunk: int):
         interpret=_interpret(),
     )
 
-    def bwd_attr_idx(w, bt, bl, br, us):
-        b = num_blocks - 1 - w
-        return (jnp.where(b < us[0], b, 0), 0, 0)
+    def bwd_attr_idx(w, eb, et, er, fv, nl):
+        return (eb[w], 0, 0)
 
-    def bwd_tile_idx(w, bt, bl, br, us):
-        return (bt[num_blocks - 1 - w], 0, 0)
+    def bwd_tile_idx(w, eb, et, er, fv, nl):
+        return (et[w], 0, 0)
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, tiles_x, chunk, num_blocks),
+        functools.partial(_bwd_kernel, tiles_x, chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(num_blocks,),
             in_specs=[
                 pl.BlockSpec((1, ROWS, chunk), bwd_attr_idx),
-                pl.BlockSpec((1, OUT_ROWS, P), bwd_tile_idx),
-                pl.BlockSpec((1, OUT_ROWS, P), bwd_tile_idx),
+                pl.BlockSpec((1, 2 * OUT_ROWS, P), bwd_tile_idx),
             ],
             out_specs=pl.BlockSpec((1, ROWS, chunk), bwd_attr_idx),
             scratch_shapes=[
@@ -367,15 +433,52 @@ def _make_pallas_fns(num_tiles: int, tiles_x: int, num_blocks: int, chunk: int):
 
     @jax.custom_vjp
     def composite_tiles(attrs, block_tile, block_first, block_last, block_rank, used):
-        return fwd_call(block_tile, block_first, block_last, used, attrs)
+        return fwd_call(block_tile, block_first, block_last, block_rank, used, attrs)
 
     def composite_fwd(attrs, block_tile, block_first, block_last, block_rank, used):
-        out = fwd_call(block_tile, block_first, block_last, used, attrs)
+        out = fwd_call(block_tile, block_first, block_last, block_rank, used, attrs)
         return out, (attrs, block_tile, block_last, block_rank, used, out)
 
     def composite_bwd(res, gout):
         attrs, block_tile, block_last, block_rank, used, fwd_out = res
-        dattrs = bwd_call(block_tile, block_last, block_rank, used, attrs, fwd_out, gout)
+        fg = jnp.concatenate([fwd_out, gout], axis=1)  # (T, 2*OUT_ROWS, P)
+
+        # Live-block compaction: a block is dead when every pixel of its
+        # tile stopped compositing before it (its entries carry zero weight
+        # and zero gradient, and T/s pass through unchanged). Dead blocks
+        # are a SUFFIX of each tile's depth-ordered block list, so removing
+        # them keeps surviving blocks of a tile adjacent in the back-to-
+        # front worklist. The kernel then pays nothing for saturated tails.
+        blocks = jnp.arange(num_blocks, dtype=jnp.int32)
+        # Row 6: per-pixel 1 + rank of the last CONTRIBUTING entry.
+        lcmax = jnp.max(fwd_out[:, 6, :], axis=1)  # (T,)
+        dead = (
+            (block_rank * chunk).astype(jnp.float32) >= lcmax[block_tile]
+        ) | (blocks >= used[0])
+        ids_desc = num_blocks - 1 - blocks
+        # Stable sort of the descending id list by deadness: live blocks
+        # first, still in descending (back-to-front) order.
+        perm = jnp.argsort(dead[ids_desc].astype(jnp.int32), stable=True)
+        wl = ids_desc[perm]
+        n_live = (num_blocks - jnp.sum(dead)).astype(jnp.int32)
+        # Pin steps past n_live to the LAST live block: the output buffer
+        # never switches away from it, so no garbage block is ever flushed.
+        tgt = wl[jnp.maximum(n_live - 1, 0)]
+        in_live = blocks < n_live
+        eb = jnp.where(in_live, wl, tgt).astype(jnp.int32)
+        et = block_tile[eb]
+        er = block_rank[eb]
+        fv = jnp.where(
+            in_live,
+            jnp.concatenate(
+                [jnp.ones((1,), jnp.int32), (et[1:] != et[:-1]).astype(jnp.int32)]
+            ),
+            0,
+        )
+        dattrs = bwd_call(eb, et, er, fv, n_live.reshape(1), attrs, fg)
+        # Dead blocks' dattrs slots were never written — zero them before
+        # the gather transpose scatter-adds them into real splat rows.
+        dattrs = jnp.where(dead[:, None, None], 0.0, dattrs)
         zero_int = lambda x: np.zeros(x.shape, jax.dtypes.float0)
         return (
             dattrs,
