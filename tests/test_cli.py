@@ -13,6 +13,11 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(os.environ, JAX_PLATFORMS="cpu",
            JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache")
+# The sandbox's sitecustomize registers the TPU plugin whenever
+# PALLAS_AXON_POOL_IPS is set — JAX_PLATFORMS=cpu then loses, and the CLI
+# subprocesses silently run on (and can hang on) the shared TPU. Dropping
+# the trigger variable keeps these smoke tests CPU-only and hermetic.
+ENV.pop("PALLAS_AXON_POOL_IPS", None)
 
 
 def test_train_cli_flag_parity():

@@ -48,9 +48,9 @@ def _setup(sh_degree=2):
     return state, cam_batch, gt, est
 
 
-def _run(mesh_shape, state, cam_batch, gt, est, steps=2):
+def _run(mesh_shape, state, cam_batch, gt, est, steps=2, rasterizer="tiled"):
     cfg = Config(
-        rasterizer="tiled", sh_degree=2,
+        rasterizer=rasterizer, sh_degree=2,
         regularize_opacity=True, regularize_opacity_start=0, regularize_opacity_end=10,
         regularize_depth=True, regularize_depth_start=0, regularize_depth_end=10,
         warmup_grad=0,
@@ -70,11 +70,16 @@ def _run(mesh_shape, state, cam_batch, gt, est, steps=2):
     return jax.device_get(st), jax.device_get(metrics)
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 4), (2, 2)])
-def test_sharded_step_matches_single_device(mesh_shape):
+@pytest.mark.parametrize("mesh_shape,rasterizer", [
+    ((2, 4), "tiled"), ((1, 4), "tiled"), ((2, 2), "tiled"),
+    # The flagship Pallas kernels must agree under shard_map too (interpret
+    # mode on CPU; the same program runs compiled on a real pod slice).
+    ((2, 4), "pallas"),
+])
+def test_sharded_step_matches_single_device(mesh_shape, rasterizer):
     state, cam_batch, gt, est = _setup()
-    st1, m1 = _run((1, 1), state, cam_batch, gt, est)
-    stN, mN = _run(mesh_shape, state, cam_batch, gt, est)
+    st1, m1 = _run((1, 1), state, cam_batch, gt, est, rasterizer=rasterizer)
+    stN, mN = _run(mesh_shape, state, cam_batch, gt, est, rasterizer=rasterizer)
 
     for k in m1:
         np.testing.assert_allclose(m1[k], mN[k], rtol=2e-4, atol=2e-5, err_msg=k)
@@ -95,16 +100,17 @@ def test_sharded_step_matches_single_device(mesh_shape):
     )
 
 
-def test_sharded_render_matches_unsharded():
+@pytest.mark.parametrize("rasterizer", ["tiled", "pallas"])
+def test_sharded_render_matches_unsharded(rasterizer):
     from tinysplat_tpu.render import render
 
     state, cam_batch, gt, est = _setup()
-    cfg = Config(rasterizer="tiled", sh_degree=2)
+    cfg = Config(rasterizer=rasterizer, sh_degree=2)
     cam = jax.tree.map(lambda x: x[0], cam_batch)
     bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
 
     rgb_ref, extras = render(
-        state.params, state.alive, cam, H, W, jnp.int32(2), bg, rasterizer="tiled"
+        state.params, state.alive, cam, H, W, jnp.int32(2), bg, rasterizer=rasterizer
     )
 
     mesh = make_mesh(2, 4)

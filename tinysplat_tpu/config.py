@@ -92,7 +92,9 @@ class Config:
     regularize_density_end: int = 15_000
 
     # --- TPU-framework-specific ---------------------------------------------
-    rasterizer: str = "tiled"  # dense | tiled | pallas
+    # auto = pallas on TPU, tiled elsewhere (resolved by resolve_rasterizer);
+    # explicit values: dense | tiled | pallas.
+    rasterizer: str = "auto"
     capacity: Optional[int] = None  # splat array capacity (None: auto)
     tile_size: int = 16
     # Static intersection budgets (0 = auto: 8*N total, 4096/tile). Shrink
@@ -101,6 +103,7 @@ class Config:
     dup_capacity: int = 0
     max_per_tile: int = 0
     flat_blocks: int = 0  # pallas worklist block budget (0 = worst case)
+    span_capacity: int = 0  # binning row-span budget (0 = auto)
     viewdirs_mode: str = "reference"  # see render.compute_viewdirs
     mesh_tile: int = 1  # mesh axis size: image-tile (pixel) sharding
     mesh_splat: int = 1  # mesh axis size: splat sharding

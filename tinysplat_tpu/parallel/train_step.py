@@ -96,8 +96,11 @@ def _project_batch(params: GaussianParams, cams: CameraParams, H: int, W: int, t
 
 def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, cfg):
     """Per-camera rasterization of one horizontal band (vmapped over Bl)."""
-    kw = {"dup_capacity": cfg.dup_capacity, "max_per_tile": cfg.max_per_tile}
-    if cfg.rasterizer == "pallas":
+    from ..render import resolve_rasterizer
+
+    kw = {"dup_capacity": cfg.dup_capacity, "max_per_tile": cfg.max_per_tile,
+          "span_capacity": cfg.span_capacity}
+    if resolve_rasterizer(cfg.rasterizer) == "pallas":
         from ..ops.rasterize_pallas import rasterize_pallas as fn
 
         kw["flat_blocks"] = cfg.flat_blocks
@@ -371,12 +374,12 @@ def make_sharded_render(cfg: Config, img_height: int, img_width: int, mesh: Mesh
         bg4 = jnp.concatenate([background, background[:1]])
         y0 = (idx * Hl).astype(xys_f.dtype)
         shift = jnp.stack([jnp.zeros_like(y0), y0])
-        from ..ops.rasterize import rasterize_tiled
-
-        img4, alpha = rasterize_tiled(
-            xys_f - shift, depths_f, radii_f, conics_f, colors_f, opac_f, valid_f,
-            Hl, W, bg4, tile_size=cfg.tile_size,
+        img4, alpha = _band_rasterize(
+            (xys_f - shift)[None], depths_f[None], radii_f[None],
+            conics_f[None], colors_f[None], opac_f, valid_f[None],
+            Hl, W, bg4, cfg,
         )
+        img4, alpha = img4[0], alpha[0]
         return jnp.minimum(img4[..., :3], 1.0), img4[..., 3], alpha
 
     @jax.jit

@@ -34,6 +34,15 @@ from .ops.projection import project_gaussians
 from .ops.sh import eval_sh
 
 
+def resolve_rasterizer(name: str) -> str:
+    """'auto' -> the fast path for the current backend: the Pallas kernels
+    on TPU, the chunk-scanned XLA rasterizer elsewhere (CPU tests exercise
+    the Pallas path explicitly via interpret mode)."""
+    if name in ("auto", ""):
+        return "pallas" if jax.default_backend() == "tpu" else "tiled"
+    return name
+
+
 def compute_viewdirs(
     means: jax.Array, camera: CameraParams, mode: str = "reference"
 ) -> jax.Array:
@@ -63,7 +72,7 @@ def render(
     img_width: int,
     active_sh_degree,
     background: jax.Array,
-    rasterizer: str = "dense",
+    rasterizer: str = "auto",
     xys_probe: Optional[jax.Array] = None,
     viewdirs_mode: str = "reference",
     tile_size: int = 16,
@@ -114,6 +123,7 @@ def render(
     bg4 = jnp.concatenate([background, background[:1]], axis=-1)
 
     diag = None
+    rasterizer = resolve_rasterizer(rasterizer)
     if rasterizer == "dense":
         from .ops.rasterize_dense import rasterize_dense
 

@@ -127,6 +127,7 @@ def compute_losses(
         dup_capacity=cfg.dup_capacity,
         max_per_tile=cfg.max_per_tile,
         flat_blocks=cfg.flat_blocks,
+        span_capacity=cfg.span_capacity,
     )
     loss_l1 = jnp.mean(jnp.abs(rgb - gt_image))
     loss_ssim = 1.0 - ssim(rgb, gt_image)

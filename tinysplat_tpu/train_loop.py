@@ -349,6 +349,7 @@ class Trainer:
                     rasterizer=cfg.rasterizer, viewdirs_mode=cfg.viewdirs_mode,
                     tile_size=cfg.tile_size, dup_capacity=cfg.dup_capacity,
                     max_per_tile=cfg.max_per_tile, flat_blocks=cfg.flat_blocks,
+                    span_capacity=cfg.span_capacity,
                 )
 
             self._step_fns[key] = render_fn
