@@ -73,13 +73,46 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
         grads = step(state.params)
     jax.block_until_ready(grads)
     dt = time.perf_counter() - t0
-
     msplats_s = n_splats * iters / dt / 1e6
+
+    # Secondary: the FULL training step (render + L1/SSIM loss + Adam +
+    # densify accumulator) — the number a user's wall clock sees — and the
+    # rays/s (pixels per second) figure the >=85% scaling-efficiency bar in
+    # BASELINE.json is defined over (VERDICT r1 items 5/7).
+    from tinysplat_tpu.config import Config
+    from tinysplat_tpu.train import init_opt_state, make_train_step
+
+    cfg = Config(rasterizer=backend, sh_degree=3,
+                 flat_blocks=15360, dup_capacity=1_572_864,
+                 span_capacity=786_432, max_per_tile=2048)
+    tstep = make_train_step(cfg, height, width)
+    opt = init_opt_state(cfg, state)
+    gt = jnp.zeros((height, width, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    st, cur = state, opt
+    out = tstep(st, cur, cam, gt, None, jnp.int32(0), key)
+    st, cur = out.state, out.opt_state
+    jax.block_until_ready(st.params.means)
+    t0 = time.perf_counter()
+    full_iters = max(iters // 2, 5)
+    for i in range(full_iters):
+        out = tstep(st, cur, cam, gt, None, jnp.int32(i + 1), key)
+        st, cur = out.state, out.opt_state
+    jax.block_until_ready(st.params.means)
+    dt_full = time.perf_counter() - t0
+    steps_s = full_iters / dt_full
+    rays_s = steps_s * height * width
+
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_throughput",
         "value": round(msplats_s, 3),
         "unit": "Msplats/s",
         "vs_baseline": round(msplats_s / BASELINE_MSPLATS_S, 3),
+        "train_step_ms": round(1000.0 / steps_s, 1),
+        "train_steps_per_s": round(steps_s, 2),
+        "rays_per_s": round(rays_s, 0),
+        "n_splats": n_splats,
+        "resolution": [height, width],
     }))
 
 

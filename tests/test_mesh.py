@@ -5,6 +5,7 @@ watertightness via boundary-edge count) — capability parity with the
 reference's mcubes path (model_gaussian.py:482-515).
 """
 import numpy as np
+import pytest
 
 from tinysplat_tpu.mesh import extract_mesh, marching_tetrahedra, vertex_normals
 from tinysplat_tpu.models.gaussians import init_from_pcd
@@ -38,6 +39,7 @@ def test_sphere_isosurface_geometry():
     assert abs(outward.mean()) > 0.95
 
 
+@pytest.mark.slow
 def test_extract_mesh_from_splats():
     # A blob of splats at the origin -> some closed surface around it.
     rng = np.random.default_rng(0)

@@ -1,6 +1,7 @@
 """MeshTrainer: multi-device host loop on the 8-device virtual CPU mesh."""
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +25,7 @@ def _toy_scene(n_cams=4, size=64):
     return Scene(cams)
 
 
+@pytest.mark.slow
 def test_mesh_trainer_runs_and_improves():
     scene = _toy_scene()
     cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
@@ -39,6 +41,7 @@ def test_mesh_trainer_runs_and_improves():
     assert float(jnp.sum(tr.state.means_grad_accum)) > 0
 
 
+@pytest.mark.slow
 def test_mesh_trainer_densify_growth_resharding():
     scene = _toy_scene()
     cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=1,

@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,7 @@ def test_adam_step_matches_torch_semantics():
         )
 
 
+@pytest.mark.slow
 def test_training_improves_psnr():
     cfg = Config(rasterizer="dense", sh_degree=1, sh_increment_interval=10_000, warmup_grad=0)
     target = target_params(seed=0)

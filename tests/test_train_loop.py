@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tinysplat_tpu.config import Config
 from tinysplat_tpu.data.synthetic import orbit_cameras, random_gaussian_cloud, synthetic_pcd
@@ -50,6 +51,7 @@ def test_trainer_runs_and_loss_decreases():
     assert tr.last_rendered is not None
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_equivalence(tmp_path):
     from tinysplat_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 
@@ -79,6 +81,7 @@ def test_checkpoint_resume_equivalence(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_densify_capacity_growth():
     scene = _toy_scene()
     # Tiny capacity so densification must grow it: high-grad splats all split.
@@ -115,6 +118,7 @@ def test_grow_opt_state_pads_capacity_leaves():
     assert grown[0].count.shape == ()
 
 
+@pytest.mark.slow
 def test_budget_autotune_shrinks_and_grows():
     scene = _toy_scene()
     cfg = _cfg(rasterizer="tiled", max_iter=8)

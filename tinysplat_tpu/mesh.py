@@ -15,9 +15,10 @@ open3d/mcubes/pytorch3d:
   radius-10 TODO (:492).
 - `poisson`: the reference pipeline is (a) cast rays through rendered depth,
   find density level-crossing points (:398-457 — implemented here as
-  `extract_level_surface_points`, pure JAX) and (b) Open3D Poisson
-  reconstruction + cleanup (:458-480 — requires open3d; gated with a clear
-  error when unavailable).
+  `extract_level_surface_points`, pure JAX) and (b) Poisson reconstruction +
+  outlier/low-density cleanup (:458-480 — the reference calls Open3D; here
+  it is the first-party spectral screened-Poisson solver in poisson.py,
+  fully on-device).
 """
 from __future__ import annotations
 
@@ -211,7 +212,8 @@ def extract_level_surface_points(
     num_total_points: int = 200_000,
     surface_level: float = 0.3,
     num_steps: int = 21,
-) -> np.ndarray:
+    return_view_origins: bool = False,
+):
     """Density level-crossing points along camera rays (reference
     model_gaussian.py:398-457): backproject rendered depth, march +-3 sigma
     along the view ray, find the first crossing of `surface_level`, and
@@ -222,6 +224,7 @@ def extract_level_surface_points(
     per_cam = max(num_total_points // max(len(cams), 1), 1)
     rng = np.random.default_rng(0)
     out = []
+    out_cams = []
     for cam in cams:
         _, extras = scene.render(cam)
         depth = np.asarray(extras["depth"]).reshape(-1)
@@ -258,9 +261,12 @@ def extract_level_surface_points(
         t1 = t_range[ok, fa]
         t_cross = (surface_level - d0) / np.maximum(d1 - d0, 1e-12) * (t1 - t0) + t0
         out.append(p_world[ok] + t_cross[:, None] * p_dir[ok])
-    if not out:
-        return np.zeros((0, 3))
-    return np.concatenate(out)
+        out_cams.append(np.broadcast_to(cam.position[None], out[-1].shape))
+    pts = np.concatenate(out) if out else np.zeros((0, 3))
+    if return_view_origins:
+        vo = np.concatenate(out_cams) if out_cams else np.zeros((0, 3))
+        return pts, vo
+    return pts
 
 
 def extract_mesh(
@@ -280,27 +286,17 @@ def extract_mesh(
     if algorithm == "poisson":
         if scene is None:
             raise ValueError("poisson extraction needs scene= (rendered depth)")
-        pts = extract_level_surface_points(scene, state)
-        try:
-            import open3d as o3d
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "Poisson surface reconstruction requires open3d (not in this "
-                "image); use algorithm='marching_cubes', or export the level-"
-                "surface points via extract_level_surface_points()."
-            ) from e
-        pcd = o3d.geometry.PointCloud()
-        pcd.points = o3d.utility.Vector3dVector(pts.astype(np.float64))
-        pcd.estimate_normals()
-        _, ind = pcd.remove_statistical_outlier(nb_neighbors=20, std_ratio=20.0)
-        pcd = pcd.select_by_index(ind)
-        mesh, densities = o3d.geometry.TriangleMesh.create_from_point_cloud_poisson(
-            pcd, depth=poisson_depth
+        pts, view_origins = extract_level_surface_points(
+            scene, state, return_view_origins=True
         )
-        mesh.remove_vertices_by_mask(np.asarray(densities) < np.quantile(densities, 0.1))
-        v = np.asarray(mesh.vertices)
-        f = np.asarray(mesh.triangles)
-        return v, f, vertex_normals(v, f)
+        from .poisson import reconstruct
+
+        # The reference's octree depth maps to a uniform grid of 2^depth
+        # cells (capped — a 256-cube is finer than depth-9 octree leaves on
+        # these scenes; see poisson.py).
+        return reconstruct(
+            pts, view_origins, resolution=min(2 ** poisson_depth, 256)
+        )
     raise ValueError(f"Unknown mesh extraction algorithm: {algorithm}")
 
 

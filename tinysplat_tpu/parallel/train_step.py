@@ -156,6 +156,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     optimizer=None,
     use_depth: bool = False,
+    use_density: bool = False,
 ):
     """Build the jitted multi-device train step.
 
@@ -163,10 +164,19 @@ def make_sharded_train_step(
       batch: global cameras per step (divisible by mesh 'data' size).
       use_depth: whether an estimated-depth batch is supplied per step
         (enables the Chung et al. depth regularizer, train.py:65-69).
+      use_density: whether a DensityProbe is supplied per step (enables the
+        SuGaR density/SDF regularizer, train.py:77-91). The probe's sample
+        points are sharded over 'tile' (each tile row scores 1/n_tile of
+        the points; the masked mean is psum-reconstructed exactly), the
+        full parameter set the KNN gathers from is one extra all_gather
+        over 'tile' whose transpose reduce-scatters the density gradients,
+        and each camera's full depth map is re-assembled from the bands
+        with a tiled all_gather (its transpose routes depth gradients back
+        to the producing band).
 
-    Returns train_step(state, opt_state, cams, gt, est_depth, step, key)
-    where cams is a (B,)-batched CameraParams pytree, gt is (B, H, W, 3),
-    est_depth is (B, H, W) (ignored unless use_depth).
+    Returns train_step(state, opt_state, cams, gt, est_depth, step, key
+    [, density_probe]) where cams is a (B,)-batched CameraParams pytree,
+    gt is (B, H, W, 3), est_depth is (B, H, W) (ignored unless use_depth).
     """
     if optimizer is None:
         optimizer = make_optimizer(cfg)
@@ -185,7 +195,8 @@ def make_sharded_train_step(
         f"pad the image so H is divisible by n_tile * tile_size"
     )
 
-    def device_step(state: GaussianState, opt_state, cams, gt, est_depth, step, key):
+    def device_step(state: GaussianState, opt_state, cams, gt, est_depth, step, key,
+                    dprobe=None):
         # state leaves: (C/ndev, ...); cams leaves: (Bl, ...);
         # gt: (Bl, Hl, W, 3); est_depth: (Bl, Hl, W).
         t_idx = jax.lax.axis_index("tile")
@@ -276,6 +287,53 @@ def make_sharded_train_step(
                 loss = loss + gate * cfg.lambda_opacity * loss_opacity
                 aux["loss_opacity"] = loss_opacity
 
+            if use_density and cfg.regularize_density and dprobe is not None:
+                from ..regularizers.density import (
+                    approximate_density,
+                    density_at_points,
+                )
+
+                gate = jnp.where(
+                    (step >= cfg.regularize_density_start)
+                    & (step < cfg.regularize_density_end),
+                    1.0, 0.0,
+                )
+                # Full params for the KNN gather (see make_sharded_train_step
+                # docstring for the collective/transpose story). Must be ONE
+                # flat gather from the shard: gathering 'data' then 'tile'
+                # interleaves the capacity chunks (device (d,t) holds global
+                # chunk d*n_tile+t), which would scramble the probe's global
+                # KNN indices.
+                params_full = jax.tree.map(
+                    lambda x: jax.lax.all_gather(
+                        x, ("data", "tile"), axis=0, tiled=True
+                    ),
+                    params_shard,
+                )
+                depth_full = jax.lax.all_gather(depth, "tile", axis=1, tiled=True)
+                d = density_at_points(dprobe.points, dprobe.knn_idx, params_full)
+
+                def one_cam(cam, depth_b):
+                    est, mask = approximate_density(
+                        dprobe.points, depth_b, cam, dprobe.beta, H, W,
+                        return_sdf=cfg.regularize_sdf,
+                    )
+                    if cfg.regularize_sdf:
+                        sdf = dprobe.beta * jnp.sqrt(
+                            -2.0 * jnp.log(jnp.clip(d, 0.001, 0.999))
+                        )
+                        err = jnp.abs(sdf - est)
+                    else:
+                        err = jnp.abs(d - est)
+                    e = jax.lax.psum(jnp.sum(jnp.where(mask, err, 0.0)), "tile")
+                    c = jax.lax.psum(jnp.sum(mask.astype(err.dtype)), "tile")
+                    return e / jnp.maximum(c, 1.0)
+
+                per_cam = jax.vmap(one_cam)(cams, depth_full)  # (Bl,)
+                loss_density = jax.lax.psum(jnp.sum(per_cam), "data") / B
+                loss = loss + gate * cfg.lambda_density * loss_density
+                aux["loss_density"] = loss_density
+
             mse_sum = jax.lax.psum(jnp.sum((rgb - gt) ** 2), ("data", "tile"))
             aux["psnr"] = 10.0 * jnp.log10(1.0 / jnp.maximum(mse_sum / (npix * 3), 1e-12))
             aux["loss"] = loss
@@ -315,29 +373,39 @@ def make_sharded_train_step(
             "psnr": aux["psnr"],
             "num_live": jax.lax.psum(jnp.sum(state.alive.astype(jnp.int32)), ("data", "tile")),
         }
-        for k in ("loss_l1", "loss_ssim", "loss_depth", "loss_opacity"):
+        for k in ("loss_l1", "loss_ssim", "loss_depth", "loss_opacity",
+                  "loss_density"):
             if k in aux:
                 metrics[k] = aux[k]
         return ShardedStepOutput(new_state, new_opt_state, metrics)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(state, opt_state, cams, gt, est_depth, step, key):
+    def train_step(state, opt_state, cams, gt, est_depth, step, key,
+                   density_probe=None):
+        in_specs = [
+            _cap_specs(state),
+            _cap_specs(opt_state),
+            jax.tree.map(lambda _: P("data"), cams),
+            P("data", "tile"),
+            P("data", "tile"),
+            P(),
+            P(),
+        ]
+        args = [state, opt_state, cams, gt, est_depth,
+                jnp.asarray(step, jnp.int32), key]
+        if use_density:
+            assert density_probe is not None, "use_density step needs a probe"
+            # Sample points sharded over 'tile', replicated over 'data'.
+            in_specs.append(jax.tree.map(lambda _: P("tile"), density_probe))
+            args.append(density_probe)
         fn = jax.shard_map(
             device_step,
             mesh=mesh,
-            in_specs=(
-                _cap_specs(state),
-                _cap_specs(opt_state),
-                jax.tree.map(lambda _: P("data"), cams),
-                P("data", "tile"),
-                P("data", "tile"),
-                P(),
-                P(),
-            ),
+            in_specs=tuple(in_specs),
             out_specs=ShardedStepOutput(_cap_specs(state), _cap_specs(opt_state), P()),
             check_vma=False,
         )
-        return fn(state, opt_state, cams, gt, est_depth, jnp.asarray(step, jnp.int32), key)
+        return fn(*args)
 
     return train_step
 

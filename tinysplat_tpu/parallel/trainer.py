@@ -67,14 +67,40 @@ class MeshTrainer(Trainer):
         self.state = shard_state(self.mesh, self.state)
         self.opt_state = shard_state(self.mesh, self.opt_state)
         self._sharded_step = None
+        self._sharded_density = None
 
     def _get_sharded_step(self):
-        if self._sharded_step is None:
+        use_density = self.density_probe is not None
+        if self._sharded_step is None or self._sharded_density != use_density:
             self._sharded_step = make_sharded_train_step(
                 self.cfg, self.h, self.w, self.n_data, self.mesh,
                 self.optimizer, use_depth=self.cfg.regularize_depth,
+                use_density=use_density,
             )
+            self._sharded_density = use_density
         return self._sharded_step
+
+    def _maybe_refresh_density_probe(self) -> None:
+        # Same cadence as the base class, but the sample count must divide
+        # by the 'tile' axis (points are row-sharded in the step) and the
+        # probe arrays are laid out with that sharding.
+        refresh_step = (
+            self.cfg.regularize_density
+            and self.cfg.regularize_density_start <= self.step < self.cfg.regularize_density_end
+        )
+        super()._maybe_refresh_density_probe()
+        if refresh_step and self.density_probe is not None:
+            from jax.sharding import NamedSharding
+
+            p = self.density_probe
+            n = p.points.shape[0] // self.n_tile * self.n_tile
+            p = jax.tree.map(lambda x: x[:n], p)
+            self.density_probe = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(self.mesh, jax.sharding.PartitionSpec("tile"))
+                ),
+                p,
+            )
 
     def train_step(self) -> None:
         cfg = self.cfg
@@ -94,7 +120,8 @@ class MeshTrainer(Trainer):
 
         self.key, sub = jax.random.split(self.key)
         out = self._get_sharded_step()(
-            self.state, self.opt_state, cam_batch, gt, est, self.step, sub
+            self.state, self.opt_state, cam_batch, gt, est, self.step, sub,
+            density_probe=self.density_probe,
         )
         self.state, self.opt_state = out.state, out.opt_state
         self.metrics.update(self.step, out.metrics)
