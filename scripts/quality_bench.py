@@ -1,0 +1,169 @@
+"""Full-scale quality benchmark: train a real-sized scene, report held-out
+PSNR/SSIM + steps/s (VERDICT r1 item 3; run shape mirrors the reference's
+/root/reference/scripts/train.py:19-127 at BASELINE.json north-star scale).
+
+No real dataset exists in the sandbox, so ground truth comes from a
+structured synthetic splat scene ("multi-object": clustered anisotropic
+Gaussian blobs on a ground slab) rendered at 1600x1066 from 36 orbit
+cameras. The trainee starts from a noisy 8k-point cloud (the COLMAP-like
+initialization path) and must recover the scene through the full loss
+stack + densification + LR schedules — exercising exactly what a
+Tanks&Temples run exercises except the renderer-vs-photo gap.
+
+Usage: python scripts/quality_bench.py [--iters 7000] [--out QUALITY_r.json]
+Prints one JSON line and writes it to --out.
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_gt_scene(n_clusters=60, per_cluster=800, seed=0):
+    """Structured multi-object splat scene: anisotropic blob clusters in a
+    bounded volume plus a thin ground slab."""
+    rng = np.random.default_rng(seed)
+    means, scales, colors, opacs, quats = [], [], [], [], []
+    centers = rng.uniform(-1.0, 1.0, size=(n_clusters, 3)) * np.array([1.2, 0.5, 1.2])
+    for c in centers:
+        k = per_cluster
+        # Cluster shape: random covariance orientation + extent.
+        ext = rng.uniform(0.05, 0.25, size=3)
+        pts = c + rng.normal(size=(k, 3)) * ext
+        base = rng.uniform(0.15, 0.95, size=3)
+        col = np.clip(base + rng.normal(scale=0.08, size=(k, 3)), 0, 1)
+        means.append(pts)
+        scales.append(np.log(rng.uniform(0.004, 0.02, size=(k, 3))))
+        colors.append(col)
+        opacs.append(rng.uniform(0.5, 3.0, size=(k, 1)))
+        q = rng.normal(size=(k, 4))
+        quats.append(q / np.linalg.norm(q, axis=1, keepdims=True))
+    # Ground slab
+    k = 12_000
+    pts = np.stack([rng.uniform(-1.8, 1.8, k), np.full(k, 0.75)
+                    + rng.normal(scale=0.01, size=k), rng.uniform(-1.8, 1.8, k)], axis=1)
+    means.append(pts)
+    scales.append(np.log(np.stack([rng.uniform(0.015, 0.04, k),
+                                   rng.uniform(0.002, 0.004, k),
+                                   rng.uniform(0.015, 0.04, k)], axis=1)))
+    g = rng.uniform(0.25, 0.45, size=(k, 1))
+    colors.append(np.concatenate([g, g * rng.uniform(0.9, 1.1, (k, 1)), g * 0.8], axis=1))
+    opacs.append(rng.uniform(1.0, 3.0, size=(k, 1)))
+    q = rng.normal(size=(k, 4))
+    quats.append(q / np.linalg.norm(q, axis=1, keepdims=True))
+    return (np.concatenate(means).astype(np.float32),
+            np.concatenate(scales).astype(np.float32),
+            np.concatenate(quats).astype(np.float32),
+            np.concatenate(colors).astype(np.float32),
+            np.concatenate(opacs).astype(np.float32))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=7000)
+    p.add_argument("--width", type=int, default=1600)
+    p.add_argument("--height", type=int, default=1056)  # 66 tile rows
+    p.add_argument("--cameras", type=int, default=36)
+    p.add_argument("--holdout", type=int, default=9)  # every 9th -> 4 eval cams
+    p.add_argument("--init-points", type=int, default=8000)
+    p.add_argument("--out", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    log = logging.getLogger("quality")
+
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from tinysplat_tpu.cameras import Camera
+    from tinysplat_tpu.config import Config
+    from tinysplat_tpu.data.synthetic import orbit_cameras
+    from tinysplat_tpu.models.gaussians import init_from_pcd
+    from tinysplat_tpu.render import render
+    from tinysplat_tpu.scene import Scene
+    from tinysplat_tpu.train_loop import Trainer
+
+    H, W = args.height, args.width
+    rng = np.random.default_rng(args.seed)
+
+    # --- ground-truth scene + images -------------------------------------
+    means, log_scales, quats, colors, opac = make_gt_scene(seed=args.seed)
+    n_gt = len(means)
+    gt_state = init_from_pcd(means, colors * 255.0, sh_degree=3, capacity=n_gt)
+    gt_state = dataclasses.replace(
+        gt_state,
+        params=dataclasses.replace(
+            gt_state.params,
+            scales=jnp.asarray(log_scales),
+            quats=jnp.asarray(quats),
+            opacities=jnp.asarray(opac),
+        ),
+    )
+    cams = orbit_cameras(args.cameras, width=W, height=H, radius=3.2, fov=0.9)
+
+    @jax.jit
+    def render_gt(cam_params):
+        rgb, _ = render(gt_state.params, gt_state.alive, cam_params, H, W,
+                        active_sh_degree=jnp.int32(3),
+                        background=jnp.zeros(3), rasterizer="auto")
+        return rgb
+
+    log.info("rendering %d GT views of %d-splat scene at %dx%d",
+             len(cams), n_gt, W, H)
+    for i, cam in enumerate(cams):
+        img = np.asarray(jax.device_get(render_gt(cam.params())))
+        cam._image = img.astype(np.float32)
+        if i == 0:
+            cov = float((img.sum(-1) > 0.02).mean())
+            log.info("GT view 0 coverage %.2f", cov)
+
+    train_cams = [c for i, c in enumerate(cams) if i % args.holdout != 0]
+    eval_cams = [c for i, c in enumerate(cams) if i % args.holdout == 0]
+
+    # --- trainee ----------------------------------------------------------
+    sel = rng.permutation(n_gt)[: args.init_points]
+    init_xyz = means[sel] + rng.normal(scale=0.02, size=(len(sel), 3))
+    init_rgb = np.clip(colors[sel] + rng.normal(scale=0.1, size=(len(sel), 3)), 0, 1)
+    state = init_from_pcd(init_xyz.astype(np.float32), init_rgb * 255.0,
+                          sh_degree=3, capacity=1 << 17)
+
+    cfg = Config(rasterizer="auto", sh_degree=3, max_iter=args.iters,
+                 eval_interval=0, densify_end=args.iters * 10 // 15)
+    trainer = Trainer(cfg, Scene(train_cams), state)
+    trainer.eval_cameras = eval_cams
+
+    t0 = time.perf_counter()
+    trainer.run(args.iters)
+    dt = time.perf_counter() - t0
+
+    ev = trainer.evaluate()
+    num_live = int(jax.device_get(jnp.sum(trainer.state.alive.astype(jnp.int32))))
+    out = {
+        "metric": "heldout_psnr_7k",
+        "value": round(ev["eval_psnr"], 2),
+        "unit": "dB",
+        "eval_ssim": round(ev["eval_ssim"], 4),
+        "iters": args.iters,
+        "steps_per_s": round(args.iters / dt, 2),
+        "train_minutes": round(dt / 60, 1),
+        "num_splats": num_live,
+        "capacity": int(trainer.state.capacity),
+        "resolution": [H, W],
+        "train_cameras": len(train_cams),
+        "eval_cameras": len(eval_cams),
+    }
+    print(json.dumps(out), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

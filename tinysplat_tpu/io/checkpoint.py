@@ -63,6 +63,146 @@ def load_model(path: str, capacity: Optional[int] = None) -> GaussianState:
     return from_state_dict(sd, capacity=capacity)
 
 
+def save_checkpoint_sharded(
+    ckpt_dir: str,
+    state: GaussianState,
+    opt_state: Any = None,
+    step: int = 0,
+    rng_key: Optional[jax.Array] = None,
+) -> None:
+    """Multi-host-aware checkpoint: each process writes ONLY its addressable
+    shards (orbax-style layout; SURVEY.md section 5 bar). No process ever
+    materializes the global arrays.
+
+    Layout:
+      ckpt_dir/manifest.npz                  (process 0: tree metadata)
+      ckpt_dir/p{proc}/l{leaf}.s{n}.npy      shard data (one .npy per shard)
+      ckpt_dir/p{proc}/l{leaf}.s{n}.idx.npy  (ndim, 2) start/stop bounds
+
+    Replicated leaves are written once (replica_id == 0 shards only), so the
+    aggregate bytes on disk equal one copy of the global state regardless of
+    mesh size. All processes must call this (collectively); a shared
+    filesystem is assumed for restore, as with orbax.
+    """
+    proc = jax.process_index()
+    pdir = os.path.join(ckpt_dir, f"p{proc}")
+    os.makedirs(pdir, exist_ok=True)
+
+    trees = {"state": state} if opt_state is None else {
+        "state": state, "opt": opt_state}
+    meta = {"meta/step": np.int64(step), "meta/capacity": np.int64(state.capacity),
+            "meta/nprocs": np.int64(jax.process_count()),
+            "meta/has_opt": np.bool_(opt_state is not None)}
+    if rng_key is not None:
+        meta["meta/rng"] = np.asarray(jax.random.key_data(rng_key))
+
+    for prefix, tree in trees.items():
+        leaves = jax.tree.leaves(tree)
+        meta[f"meta/n_{prefix}"] = np.int64(len(leaves))
+        for i, leaf in enumerate(leaves):
+            arr = leaf if isinstance(leaf, jax.Array) else jax.device_put(
+                np.asarray(leaf))
+            meta[f"shape/{prefix}/{i}"] = np.asarray(arr.shape, np.int64)
+            meta[f"dtype/{prefix}/{i}"] = np.str_(np.dtype(arr.dtype).str)
+            for s_n, shard in enumerate(arr.addressable_shards):
+                if shard.replica_id != 0:
+                    continue
+                bounds = np.asarray(
+                    [[sl.start or 0, sl.stop if sl.stop is not None else dim]
+                     for sl, dim in zip(shard.index, arr.shape)],
+                    np.int64,
+                ).reshape(len(arr.shape), 2)
+                base = os.path.join(pdir, f"{prefix}{i}.s{s_n}")
+                np.save(base + ".npy", np.asarray(shard.data))
+                np.save(base + ".idx.npy", bounds)
+
+    if proc == 0:
+        tmp = os.path.join(ckpt_dir, "manifest.npz.tmp")
+        with open(tmp, "wb") as f:
+            np.savez(f, **meta)
+        os.replace(tmp, os.path.join(ckpt_dir, "manifest.npz"))
+
+
+def restore_checkpoint_sharded(
+    ckpt_dir: str,
+    cfg: Config,
+    mesh,
+) -> Tuple[GaussianState, Any, int, Optional[jax.Array]]:
+    """Restore a sharded checkpoint directly into mesh-sharded arrays.
+
+    Each target shard is assembled only from the saved pieces that intersect
+    it (memory-mapped .npy reads — no process materializes a global array),
+    so the saving and restoring meshes may differ in shape or process count.
+    """
+    import glob
+
+    from jax.sharding import NamedSharding
+
+    from ..models.gaussians import init_from_pcd
+    from ..parallel.sharding import capacity_leaf_spec
+    from ..train import init_opt_state
+
+    man = np.load(os.path.join(ckpt_dir, "manifest.npz"))
+    step = int(man["meta/step"])
+    capacity = int(man["meta/capacity"])
+    rng_key = (jax.random.wrap_key_data(man["meta/rng"])
+               if "meta/rng" in man.files else None)
+
+    # Index the saved pieces per leaf: leaf -> [(bounds, path)].
+    pieces: dict = {}
+    for idx_path in glob.glob(os.path.join(ckpt_dir, "p*", "*.idx.npy")):
+        data_path = idx_path[: -len(".idx.npy")] + ".npy"
+        name = os.path.basename(idx_path).split(".")[0]  # e.g. "state3"
+        pieces.setdefault(name, []).append((np.load(idx_path), data_path))
+
+    def assemble(prefix, i, template_leaf):
+        shape = tuple(man[f"shape/{prefix}/{i}"].tolist())
+        dtype = np.dtype(str(man[f"dtype/{prefix}/{i}"]))
+        sharding = NamedSharding(mesh, capacity_leaf_spec(template_leaf))
+
+        def cb(index):
+            starts = [sl.start or 0 for sl in index]
+            stops = [sl.stop if sl.stop is not None else d
+                     for sl, d in zip(index, shape)]
+            out = np.empty([b - a for a, b in zip(starts, stops)], dtype)
+            for bounds, path in pieces.get(f"{prefix}{i}", ()):
+                lo = [max(a, int(b0)) for a, (b0, _) in zip(starts, bounds)]
+                hi = [min(b, int(b1)) for b, (_, b1) in zip(stops, bounds)]
+                if any(l >= h for l, h in zip(lo, hi)):
+                    continue
+                src = np.load(path, mmap_mode="r")
+                src_sl = tuple(slice(l - int(b0), h - int(b0))
+                               for l, h, (b0, _) in zip(lo, hi, bounds))
+                dst_sl = tuple(slice(l - a, h - a)
+                               for l, h, a in zip(lo, hi, starts))
+                out[dst_sl] = src[src_sl]
+            return out
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    # Tiny-capacity template: only the TREE STRUCTURE and leaf ndims matter
+    # (shapes come from the manifest) — never materialize capacity-sized
+    # host arrays here.
+    template = init_from_pcd(
+        np.arange(12, dtype=np.float32).reshape(4, 3), np.zeros((4, 3), np.float32),
+        sh_degree=cfg.sh_degree, capacity=8,
+    )
+    state_leaves, state_def = jax.tree.flatten(template)
+    state = jax.tree.unflatten(
+        state_def,
+        [assemble("state", i, l) for i, l in enumerate(state_leaves)],
+    )
+    opt_state = None
+    if bool(man["meta/has_opt"]):
+        opt_template = init_opt_state(cfg, template)
+        opt_leaves, opt_def = jax.tree.flatten(opt_template)
+        opt_state = jax.tree.unflatten(
+            opt_def,
+            [assemble("opt", i, l) for i, l in enumerate(opt_leaves)],
+        )
+    return state, opt_state, step, rng_key
+
+
 def load_checkpoint(
     path: str, cfg: Config
 ) -> Tuple[GaussianState, Any, int, Optional[jax.Array]]:

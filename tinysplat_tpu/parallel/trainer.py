@@ -131,13 +131,17 @@ class MeshTrainer(Trainer):
         self.metrics.log(self.step, extra=f"N: {num_live}")
 
         if cfg.save_checkpoints and self.step % cfg.checkpoint_interval == 0:
-            if jax.process_index() == 0:
-                from ..io.checkpoint import save_checkpoint
+            # Multi-host-aware: every process writes only its addressable
+            # shards (no global materialization); process 0 adds the
+            # manifest. Resume with restore_checkpoint_sharded(path, cfg,
+            # mesh) into the same or a reshaped mesh.
+            from ..io.checkpoint import save_checkpoint_sharded
 
-                path = f"{cfg.checkpoint_dir}/{self._timestamp}-{self.step}.npz"
-                save_checkpoint(path, jax.device_get(self.state),
-                                jax.device_get(self.opt_state), self.step, self.key)
-                log.info("saved checkpoint %s", path)
+            path = f"{cfg.checkpoint_dir}/{self._timestamp}-{self.step}.ckpt"
+            save_checkpoint_sharded(path, self.state, self.opt_state,
+                                    self.step, self.key)
+            if jax.process_index() == 0:
+                log.info("saved sharded checkpoint %s", path)
 
     def _maybe_densify(self) -> None:
         # Same cadence as the base class; resharding after capacity growth.
