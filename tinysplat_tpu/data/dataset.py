@@ -61,24 +61,39 @@ class Dataset:
 
             dist = cam.distortion
             if dist.size > 0 and np.any(dist != 0.0):
-                if cam.model in _FISHEYE:
-                    raise NotImplementedError(
-                        f"fisheye undistortion ({cam.model}) is not supported"
-                    )
                 import cv2
 
                 cam_matrix = np.array(
                     [[f_x, 0, c_x], [0, f_y, c_y], [0, 0, 1]], np.float64
                 )
-                k_params = np.pad(dist, (0, 8 - len(dist)))
-                new_cam_matrix, roi = cv2.getOptimalNewCameraMatrix(
-                    cam_matrix, k_params, (image.width, image.height), 0
-                )
-                arr = cv2.undistort(np.array(image), cam_matrix, k_params, None,
-                                    new_cam_matrix)
-                x, y, w, h = roi
-                arr = arr[y : y + h, x : x + w]
-                image = Image.fromarray(arr)
+                if cam.model in _FISHEYE:
+                    # OPENCV_FISHEYE carries k1..k4 equidistant coefficients.
+                    # (The reference loader raises on every distorted model
+                    # beyond the k-param path; dataset.py:58-75.)
+                    k4 = np.pad(dist, (0, max(0, 4 - len(dist))))[:4].reshape(4, 1)
+                    size = (image.width, image.height)
+                    new_cam_matrix = (
+                        cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+                            cam_matrix, k4, size, np.eye(3), balance=0.0
+                        )
+                    )
+                    m1, m2 = cv2.fisheye.initUndistortRectifyMap(
+                        cam_matrix, k4, np.eye(3), new_cam_matrix, size,
+                        cv2.CV_16SC2,
+                    )
+                    arr = cv2.remap(np.array(image), m1, m2, cv2.INTER_LINEAR,
+                                    borderMode=cv2.BORDER_CONSTANT)
+                    image = Image.fromarray(arr)
+                else:
+                    k_params = np.pad(dist, (0, 8 - len(dist)))
+                    new_cam_matrix, roi = cv2.getOptimalNewCameraMatrix(
+                        cam_matrix, k_params, (image.width, image.height), 0
+                    )
+                    arr = cv2.undistort(np.array(image), cam_matrix, k_params,
+                                        None, new_cam_matrix)
+                    x, y, w, h = roi
+                    arr = arr[y : y + h, x : x + w]
+                    image = Image.fromarray(arr)
                 f_x, f_y = new_cam_matrix[0, 0], new_cam_matrix[1, 1]
 
             width, height = image.width, image.height
