@@ -117,8 +117,11 @@ def main():
 
     log.info("rendering %d GT views of %d-splat scene at %dx%d",
              len(cams), n_gt, W, H)
+    gt_dev = {}
     for i, cam in enumerate(cams):
-        img = np.asarray(jax.device_get(render_gt(cam.params())))
+        dev = render_gt(cam.params())
+        gt_dev[cam.name] = dev  # stays in HBM for the trainer's image cache
+        img = np.asarray(jax.device_get(dev))
         cam._image = img.astype(np.float32)
         if i == 0:
             cov = float((img.sum(-1) > 0.02).mean())
@@ -138,6 +141,9 @@ def main():
                  eval_interval=0, densify_end=args.iters * 10 // 15)
     trainer = Trainer(cfg, Scene(train_cams), state)
     trainer.eval_cameras = eval_cams
+    # GT frames are already in HBM from the render pass — skip re-upload.
+    for cam in train_cams:
+        trainer._image_cache[(cam.name, W, H)] = gt_dev[cam.name]
 
     t0 = time.perf_counter()
     trainer.run(args.iters)

@@ -67,6 +67,73 @@ class TinysplatDiffusionPipeline:
         params = cls.init_params(key, fe, fa, em, unet, vae, sample_size, latent_channels)
         return cls(fe, fa, em, unet, vae, sched, params)
 
+    @classmethod
+    def from_pretrained(cls, model_dir: str, key: Optional[jax.Array] = None):
+        """Load a local diffusers-format checkpoint directory.
+
+        Mirrors the reference's ``DiffusionPipeline.from_pretrained`` entry
+        (/root/reference/tinysplat/diffusion/pipeline.py:215-266) offline:
+        ``model_dir/unet`` and ``model_dir/vae`` hold config.json +
+        diffusion_pytorch_model.{safetensors,bin}; weights port via
+        diffusion/port.py into the SD-topology flax modules. The
+        tinysplat-specific conditioning heads (feature encoder/aggregator,
+        EmbeddingMLP) are not part of HF checkpoints; they are built to the
+        UNet's config and random-initialized unless a finetuned checkpoint
+        ships them (params['fe'/'fa'/'em'] can be overwritten afterwards).
+        When the UNet's in_channels leave no room for the feature volume
+        (a stock SD checkpoint), feature conditioning is disabled.
+        """
+        import os
+
+        from .port import load_config, load_unet, load_vae
+        from .sd_adapters import SDUNetAdapter, SDVAEAdapter
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        unet_model, unet_params = load_unet(os.path.join(model_dir, "unet"))
+        vae_model, vae_params = load_vae(os.path.join(model_dir, "vae"))
+        unet_cfg = load_config(os.path.join(model_dir, "unet"))
+        vae_cfg = load_config(os.path.join(model_dir, "vae"))
+
+        latent_channels = vae_cfg.get("latent_channels", 4)
+        sample_size = unet_cfg.get("sample_size", 64)
+        ctx_dim = unet_cfg.get("cross_attention_dim", 768)
+        feat_ch = unet_cfg.get("in_channels", 4) - latent_channels - 3
+
+        ks = jax.random.split(key, 3)
+        em = EmbeddingMLP(conditioned_images=2, embed_dim=ctx_dim)
+        p_em = em.init(ks[0], jnp.zeros((1, 2, ctx_dim)),
+                       jnp.zeros((1, 2, ctx_dim)))
+        fe = fa = None
+        p_fe = p_fa = None
+        if feat_ch > 0:
+            fe = FeatureVolumeEncoder(
+                sample_size=sample_size * 2, num_channels=feat_ch,
+                latent_dim=sample_size, unet_block_out_channels=(8, 16),
+            )
+            cams_in = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (1, 2) + x.shape[1:]),
+                _dummy_cams(1),
+            )
+            imgs = jnp.zeros((1, 2, 3, fe.sample_size, fe.sample_size))
+            p_fe = fe.init(ks[1], _dummy_cams(1), imgs, cams_in)
+            feats, xyz = fe.apply(p_fe, _dummy_cams(1), imgs, cams_in)
+            fa = FeatureAggregator(input_dim=feat_ch, hidden_dim=16, code_len=2)
+            p_fa = fa.init(ks[2], feats, xyz)
+
+        params = {"unet": unet_params, "vae": vae_params, "em": p_em}
+        if p_fe is not None:
+            params["fe"], params["fa"] = p_fe, p_fa
+        sched_cfg = os.path.join(model_dir, "scheduler", "scheduler_config.json")
+        sched = DDIMScheduler.from_config_file(sched_cfg) if os.path.exists(
+            sched_cfg) else DDIMScheduler()
+        return cls(
+            fe, fa, em,
+            SDUNetAdapter(unet_model),
+            SDVAEAdapter(vae_model, vae_cfg.get("scaling_factor", 0.18215)),
+            sched, params,
+        )
+
     @staticmethod
     def init_params(key, fe, fa, em, unet, vae, sample_size, latent_channels):
         ks = jax.random.split(key, 5)
@@ -123,13 +190,17 @@ class TinysplatDiffusionPipeline:
         if do_cfg:
             prompt = jnp.concatenate([text_embeds, prompt])
 
-        # Feature latents (reference prepare_feature_latents).
-        feats, xyz = self.feature_encoder.apply(
-            p["fe"], target_cameras, input_images, input_cameras
-        )
-        feat_latents = self.feature_aggregator.apply(p["fa"], feats, xyz)
-        if do_cfg:
-            feat_latents = jnp.concatenate([jnp.zeros_like(feat_latents), feat_latents])
+        # Feature latents (reference prepare_feature_latents). Disabled when
+        # the UNet has no channel room for them (stock SD checkpoint).
+        feat_latents = None
+        if self.feature_encoder is not None:
+            feats, xyz = self.feature_encoder.apply(
+                p["fe"], target_cameras, input_images, input_cameras
+            )
+            feat_latents = self.feature_aggregator.apply(p["fa"], feats, xyz)
+            if do_cfg:
+                feat_latents = jnp.concatenate(
+                    [jnp.zeros_like(feat_latents), feat_latents])
 
         # Init latents from the VAE + noise at the strength-determined step.
         k_enc, k_noise = jax.random.split(key)
@@ -148,7 +219,8 @@ class TinysplatDiffusionPipeline:
                 i + 1 < num_inference_steps, ts[jnp.minimum(i + 1, num_inference_steps - 1)], -1
             )
             lat_in = jnp.concatenate([latents, latents]) if do_cfg else latents
-            lat_in = jnp.concatenate([lat_in, feat_latents], axis=1)  # channel concat
+            if feat_latents is not None:
+                lat_in = jnp.concatenate([lat_in, feat_latents], axis=1)
             eps = unet_apply(p["unet"], lat_in, t[None].astype(jnp.float32), prompt)
             if do_cfg:
                 eps_u, eps_c = jnp.split(eps, 2)

@@ -32,6 +32,20 @@ class DDIMScheduler:
         self.alphas_cumprod = jnp.asarray(np.cumprod(alphas), jnp.float32)
         self.init_noise_sigma = 1.0
 
+    @classmethod
+    def from_config_file(cls, path: str) -> "DDIMScheduler":
+        """Build from a diffusers scheduler_config.json (known fields only)."""
+        import json
+
+        with open(path) as f:
+            cfg = json.load(f)
+        return cls(
+            num_train_timesteps=cfg.get("num_train_timesteps", 1000),
+            beta_start=cfg.get("beta_start", 0.00085),
+            beta_end=cfg.get("beta_end", 0.012),
+            beta_schedule=cfg.get("beta_schedule", "scaled_linear"),
+        )
+
     def timesteps(self, num_inference_steps: int) -> jax.Array:
         """Descending inference timestep schedule."""
         step = self.num_train_timesteps // num_inference_steps
