@@ -324,3 +324,38 @@ def test_pipeline_from_pretrained(tmp_path):
         key=jax.random.PRNGKey(2),
     )
     assert out.shape == (B, 3, 16, 16) and bool(jnp.isfinite(out).all())
+
+
+def test_clip_text_encoder_matches_transformers(tmp_path):
+    """NUMERICAL golden test: the flax CLIPTextModel ported from a real
+    torch transformers checkpoint must reproduce its hidden states."""
+    import torch
+    from transformers import CLIPTextConfig
+    from transformers import CLIPTextModel as TorchCLIP
+
+    from tinysplat_tpu.diffusion.port import load_text_encoder
+
+    tcfg = CLIPTextConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=37,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, eos_token_id=98, bos_token_id=97,
+    )
+    torch.manual_seed(0)
+    tm = TorchCLIP(tcfg).eval()
+    d = tmp_path / "text_encoder"
+    d.mkdir()
+    (d / "config.json").write_text(tcfg.to_json_string())
+    torch.save(tm.state_dict(), d / "pytorch_model.bin")
+
+    model, params = load_text_encoder(str(d))
+
+    ids = np.array([[3, 17, 58, 97, 7, 98], [97, 5, 2, 98, 11, 1]], np.int32)  # eos overridden to 98
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids.astype(np.int64)))
+    hidden, pooled = model.apply(params, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(hidden), ref.last_hidden_state.numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled), ref.pooler_output.numpy(), atol=2e-5
+    )

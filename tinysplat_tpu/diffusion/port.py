@@ -33,6 +33,7 @@ import numpy as np
 _LIST_NAMES = (
     "down_blocks", "up_blocks", "mid_block", "resnets", "attentions",
     "transformer_blocks", "downsamplers", "upsamplers", "net", "to_out",
+    "layers",
 )
 
 _SAFETENSORS_DTYPES = {
@@ -98,7 +99,8 @@ def _torch_key(flax_path: Tuple[str, ...]) -> str:
                     break
             parts.append(sub)
     leaf = flax_path[-1]
-    leaf = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+    leaf = {"kernel": "weight", "scale": "weight", "bias": "bias",
+            "embedding": "weight"}[leaf]
     return ".".join(parts + [leaf])
 
 
@@ -167,6 +169,37 @@ def load_unet(model_dir: str):
         )
     )
     params, _ = convert_state_dict(load_state_dict(model_dir), params)
+    return model, params
+
+
+def load_text_encoder(model_dir: str):
+    """(CLIPTextModel, params) from a transformers text_encoder/ directory
+    (model.safetensors or pytorch_model.bin + config.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .sd_clip import CLIPTextModel
+
+    cfg = load_config(model_dir)
+    model = CLIPTextModel(cfg)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    )
+    st = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st):
+        sd = read_safetensors(st)
+    else:
+        import torch
+
+        sd = torch.load(os.path.join(model_dir, "pytorch_model.bin"),
+                        map_location="cpu", weights_only=True)
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    # transformers may or may not carry the "text_model." prefix depending
+    # on whether the saved object was CLIPTextModel or its .text_model.
+    if not any(k.startswith("text_model.") for k in sd):
+        sd = {f"text_model.{k}": v for k, v in sd.items()}
+    sd.pop("text_model.embeddings.position_ids", None)
+    params, _ = convert_state_dict(sd, params)
     return model, params
 
 
