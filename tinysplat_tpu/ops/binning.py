@@ -183,9 +183,14 @@ def _sorted_intersections(
     if clip:
         cols += [cx, cy, p1, k1, k2, inva, dxg, dystar, dymax]
     # Small integers are exact in f32 (tile ids < 2^24); one matrix keeps the
-    # span-level fetch a SINGLE row gather (XLA's gather cost is per index,
-    # not per byte).
-    packed = jnp.stack(cols, axis=1)[order]
+    # span-level fetch a SINGLE row gather. Both this depth-order permute and
+    # the span gather run on int16 bitcast views (2.3x+ faster; exact).
+    packed_unord = jnp.stack(cols, axis=1)
+    k0 = packed_unord.shape[1]
+    pu16 = jax.lax.bitcast_convert_type(packed_unord, jnp.int16).reshape(n, 2 * k0)
+    packed = jax.lax.bitcast_convert_type(
+        pu16[order].reshape(n, k0, 2), jnp.float32
+    )
     rows_o = packed[:, 0].astype(jnp.int32)
 
     # --- level 1: splats -> row spans -----------------------------------------

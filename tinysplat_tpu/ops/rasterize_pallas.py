@@ -556,16 +556,19 @@ def rasterize_pallas(
     ecol = colors
     if c < 4:
         ecol = jnp.pad(ecol, ((0, 0), (0, 4 - c)))
-    per_splat = jnp.concatenate(
-        [
-            xys,
-            conics,
-            opacities.reshape(-1, 1),
-            ecol,
-            jnp.zeros((n, ROWS - 10), xys.dtype),
-        ],
-        axis=1,
-    ).astype(jnp.float32)[bins.order]
+    per_splat = _gather_rows(
+        jnp.concatenate(
+            [
+                xys,
+                conics,
+                opacities.reshape(-1, 1),
+                ecol,
+                jnp.zeros((n, ROWS - 10), xys.dtype),
+            ],
+            axis=1,
+        ).astype(jnp.float32),
+        bins.order,
+    )
     table = jnp.concatenate([per_splat, jnp.zeros((1, ROWS), jnp.float32)])
     safe = jnp.where(ids < 0, n, ids)
     attr_cols = _gather_rows(table, safe)
