@@ -82,7 +82,6 @@ def main():
     import dataclasses
     import jax
     import jax.numpy as jnp
-    from tinysplat_tpu.cameras import Camera
     from tinysplat_tpu.config import Config
     from tinysplat_tpu.data.synthetic import orbit_cameras
     from tinysplat_tpu.models.gaussians import init_from_pcd

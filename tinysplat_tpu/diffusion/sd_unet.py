@@ -17,7 +17,7 @@ Supported config surface (the SD 1.x / 2.x family):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
