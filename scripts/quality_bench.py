@@ -25,23 +25,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_gt_scene(n_clusters=60, per_cluster=800, seed=0):
-    """Structured multi-object splat scene: anisotropic blob clusters in a
-    bounded volume plus a thin ground slab."""
+def make_gt_scene(n_clusters=70, per_cluster=700, seed=0):
+    """Structured multi-object splat scene: opaque ellipsoid SHELLS (surface
+    splats, like real captured geometry — a volumetric fuzz GT is view-
+    inconsistent and cannot be generalized from any finite camera set) plus
+    a thin ground slab."""
     rng = np.random.default_rng(seed)
     means, scales, colors, opacs, quats = [], [], [], [], []
     centers = rng.uniform(-1.0, 1.0, size=(n_clusters, 3)) * np.array([1.2, 0.5, 1.2])
     for c in centers:
         k = per_cluster
-        # Cluster shape: random covariance orientation + extent.
-        ext = rng.uniform(0.05, 0.25, size=3)
-        pts = c + rng.normal(size=(k, 3)) * ext
+        semi = rng.uniform(0.06, 0.28, size=3)  # ellipsoid semi-axes
+        u = rng.normal(size=(k, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        pts = c + u * semi  # on the shell
         base = rng.uniform(0.15, 0.95, size=3)
-        col = np.clip(base + rng.normal(scale=0.08, size=(k, 3)), 0, 1)
+        col = np.clip(base + rng.normal(scale=0.06, size=(k, 3)), 0, 1)
         means.append(pts)
-        scales.append(np.log(rng.uniform(0.004, 0.02, size=(k, 3))))
+        # Splat footprint ~ shell sampling distance so the surface closes.
+        area = 4 * np.pi * (semi.prod()) ** (2 / 3)
+        r = np.sqrt(area / k) * 1.2
+        scales.append(np.log(np.full((k, 3), r) * rng.uniform(0.7, 1.4, (k, 3))))
         colors.append(col)
-        opacs.append(rng.uniform(0.5, 3.0, size=(k, 1)))
+        opacs.append(rng.uniform(2.0, 4.0, size=(k, 1)))  # opaque surface
         q = rng.normal(size=(k, 4))
         quats.append(q / np.linalg.norm(q, axis=1, keepdims=True))
     # Ground slab
@@ -54,7 +60,7 @@ def make_gt_scene(n_clusters=60, per_cluster=800, seed=0):
                                    rng.uniform(0.015, 0.04, k)], axis=1)))
     g = rng.uniform(0.25, 0.45, size=(k, 1))
     colors.append(np.concatenate([g, g * rng.uniform(0.9, 1.1, (k, 1)), g * 0.8], axis=1))
-    opacs.append(rng.uniform(1.0, 3.0, size=(k, 1)))
+    opacs.append(rng.uniform(2.0, 4.0, size=(k, 1)))
     q = rng.normal(size=(k, 4))
     quats.append(q / np.linalg.norm(q, axis=1, keepdims=True))
     return (np.concatenate(means).astype(np.float32),

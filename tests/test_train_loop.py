@@ -147,3 +147,36 @@ def test_holdout_evaluation():
     assert "eval_psnr" in out and np.isfinite(out["eval_psnr"])
     assert 0.0 <= out["eval_ssim"] <= 1.0
     assert out["num_eval_cameras"] == 1
+
+
+def test_nan_guard_rollback():
+    """Failure-recovery subsystem: a non-finite loss rolls training back to
+    the last in-memory snapshot with fresh RNG (reference has no failure
+    detection at all — SURVEY §5)."""
+    scene = _toy_scene()
+    cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
+                 interval_opacity_reset=0, nan_guard_interval=2, max_iter=10)
+    pcd = synthetic_pcd(60, seed=4)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=128)
+
+    tr = Trainer(cfg, scene, state)
+    for _ in range(4):
+        tr.train_step()
+    assert tr._guard_snapshot is not None
+    snap_step = tr._guard_snapshot[2]
+
+    # Poison one camera's cached GT to force a non-finite loss.
+    cam = scene.get_random_camera(tr.step + 1)
+    key = (cam.name, cam.width, cam.height)
+    good = tr._device_image(cam, cam.width, cam.height)
+    tr._image_cache[key] = good * jnp.nan
+    tr.train_step()
+    assert tr._rollbacks == 1
+    assert tr.step == snap_step
+    # Restore the image; training continues and stays finite.
+    tr._image_cache[key] = good
+    before = tr.step
+    tr.train_step()
+    assert tr._rollbacks == 1 and tr.step == before + 1
+    for leaf in jax.tree.leaves(tr.state.params):
+        assert bool(jnp.isfinite(leaf).all())

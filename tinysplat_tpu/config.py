@@ -105,6 +105,9 @@ class Config:
     flat_blocks: int = 0  # pallas worklist block budget (0 = worst case)
     span_capacity: int = 0  # binning row-span budget (0 = auto)
     viewdirs_mode: str = "reference"  # see render.compute_viewdirs
+    # Divergence guard: in-memory snapshot every k steps; non-finite loss
+    # rolls training back to it with fresh RNG (0 disables).
+    nan_guard_interval: int = 200
     mesh_tile: int = 1  # mesh axis size: image-tile (pixel) sharding
     mesh_splat: int = 1  # mesh axis size: splat sharding
     seed: int = 0

@@ -102,6 +102,8 @@ class Trainer:
         self.density_probe = None
         self._step_fns: Dict[tuple, object] = {}
         self._image_cache: Dict[tuple, jax.Array] = {}
+        self._guard_snapshot = None
+        self._rollbacks = 0
         # The reference overrides the densify interval to the camera count
         # at scripts/train.py:277.
         self.interval_densify = len(scene.cameras) or cfg.interval_densify
@@ -231,6 +233,7 @@ class Trainer:
 
         num_live = int(jax.device_get(out.metrics["num_live"]))
         self.metrics.log(self.step, extra=f"N: {num_live}")
+        self._nan_guard(out.metrics["loss"])
 
         if cfg.save_checkpoints and self.step % cfg.checkpoint_interval == 0:
             from .io.checkpoint import save_checkpoint
@@ -238,6 +241,48 @@ class Trainer:
             path = f"{cfg.checkpoint_dir}/{self._timestamp}-{self.step}.npz"
             save_checkpoint(path, self.state, self.opt_state, self.step, self.key)
             log.info("saved checkpoint %s", path)
+
+    # -- failure detection / rollback ------------------------------------------
+
+    def _nan_guard(self, loss) -> None:
+        """Divergence detection + automatic rollback (a real failure-recovery
+        subsystem; the reference has none — SURVEY section 5 'failure
+        detection': its only resilience is a pinverse fallback).
+
+        Keeps an in-memory device snapshot of (state, opt, step, key) every
+        ``nan_guard_interval`` steps; when the fetched loss goes non-finite,
+        restores the snapshot and advances the RNG so the replayed steps see
+        different randomness (background, densify noise) instead of
+        re-diverging identically. Costs one tree-copy every interval and no
+        per-step host sync (the loss is read at the epoch-boundary fetch).
+        """
+        interval = self.cfg.nan_guard_interval
+        if interval <= 0:
+            return
+        if not np.isfinite(float(jax.device_get(loss))):
+            if self._guard_snapshot is None:
+                raise FloatingPointError(
+                    f"non-finite loss at step {self.step} with no snapshot"
+                )
+            snap_state, snap_opt, snap_step, snap_key = self._guard_snapshot
+            log.warning(
+                "non-finite loss at step %d: rolling back to step %d",
+                self.step, snap_step,
+            )
+            self.state = jax.tree.map(jnp.copy, snap_state)
+            self.opt_state = jax.tree.map(jnp.copy, snap_opt)
+            self.step = snap_step
+            # Fold in fresh entropy so the replay takes a different path.
+            self.key = jax.random.fold_in(snap_key, self.step + 1)
+            self._rollbacks += 1
+            return
+        if self.step % interval == 0:
+            self._guard_snapshot = (
+                jax.tree.map(jnp.copy, self.state),
+                jax.tree.map(jnp.copy, self.opt_state),
+                self.step,
+                self.key,
+            )
 
     def run(self, max_iter: Optional[int] = None) -> None:
         end = max_iter if max_iter is not None else self.cfg.max_iter
