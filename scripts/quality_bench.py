@@ -115,16 +115,26 @@ def main():
 
     @jax.jit
     def render_gt(cam_params):
-        rgb, _ = render(gt_state.params, gt_state.alive, cam_params, H, W,
-                        active_sh_degree=jnp.int32(3),
-                        background=jnp.zeros(3), rasterizer="auto")
-        return rgb
+        # Explicit, generous budgets: silently truncated GT (the default
+        # 8*N dup capacity is far under a dense shell scene's ~2.5M
+        # intersections) poisons the whole benchmark — training fits the
+        # truncated frames while eval renders the full model.
+        rgb, extras = render(gt_state.params, gt_state.alive, cam_params, H, W,
+                             active_sh_degree=jnp.int32(3),
+                             background=jnp.zeros(3), rasterizer="auto",
+                             dup_capacity=6_000_000, max_per_tile=8192,
+                             span_capacity=2_000_000)
+        d = extras["binning"]
+        return rgb, d["dup_dropped"] + d["tile_dropped"]
 
     log.info("rendering %d GT views of %d-splat scene at %dx%d",
              len(cams), n_gt, W, H)
     gt_dev = {}
     for i, cam in enumerate(cams):
-        dev = render_gt(cam.params())
+        dev, dropped = render_gt(cam.params())
+        assert int(jax.device_get(dropped)) == 0, (
+            f"GT view {i}: {int(jax.device_get(dropped))} intersections "
+            "dropped — raise the GT render budgets")
         gt_dev[cam.name] = dev  # stays in HBM for the trainer's image cache
         img = np.asarray(jax.device_get(dev))
         cam._image = img.astype(np.float32)
