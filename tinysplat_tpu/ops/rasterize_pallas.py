@@ -57,8 +57,11 @@ def _interpret() -> bool:
 
 
 @jax.custom_vjp
-def _gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
-    """Row gather ``table[ids]`` with a 16-bit forward trick.
+def _gather_attr_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """ATTR-TABLE row gather ``table[ids]`` with a 16-bit forward trick.
+
+    Specific to the ROWS=16 attribute layout (only the first 10 rows carry
+    gradients — see _gather_attr_rows_bwd).
 
     XLA:TPU's gather emitter costs per INDEX but scales with row byte-width
     below 4 bytes: gathering the table as bitcast int16 pairs and bitcasting
@@ -69,7 +72,7 @@ def _gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
     return table[ids]
 
 
-def _gather_rows_fwd(table, ids):
+def _gather_attr_rows_fwd(table, ids):
     n, r = table.shape
     t16 = jax.lax.bitcast_convert_type(table, jnp.int16).reshape(n, 2 * r)
     g16 = t16[ids]
@@ -79,13 +82,20 @@ def _gather_rows_fwd(table, ids):
     return out, (ids, n)
 
 
-def _gather_rows_bwd(res, g):
+def _gather_attr_rows_bwd(res, g):
     ids, n = res
-    dtable = jnp.zeros((n, g.shape[1]), g.dtype).at[ids].add(g)
+    # Only the first 10 attr rows carry gradients (xy, conic, opacity, 4
+    # colors); scatter-adding 40-byte rows instead of 64 shaves the
+    # per-index emitter cost, and the pad columns are zero by construction.
+    r = g.shape[1]
+    used = min(10, r)
+    dtable = jnp.zeros((n, used), g.dtype).at[ids].add(g[:, :used])
+    if used < r:
+        dtable = jnp.pad(dtable, ((0, 0), (0, r - used)))
     return dtable, np.zeros(ids.shape, jax.dtypes.float0)
 
 
-_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+_gather_attr_rows.defvjp(_gather_attr_rows_fwd, _gather_attr_rows_bwd)
 
 
 def _tri_ones(n: int) -> jax.Array:
@@ -556,7 +566,7 @@ def rasterize_pallas(
     ecol = colors
     if c < 4:
         ecol = jnp.pad(ecol, ((0, 0), (0, 4 - c)))
-    per_splat = _gather_rows(
+    per_splat = _gather_attr_rows(
         jnp.concatenate(
             [
                 xys,
@@ -571,7 +581,7 @@ def rasterize_pallas(
     )
     table = jnp.concatenate([per_splat, jnp.zeros((1, ROWS), jnp.float32)])
     safe = jnp.where(ids < 0, n, ids)
-    attr_cols = _gather_rows(table, safe)
+    attr_cols = _gather_attr_rows(table, safe)
     attrs = jnp.swapaxes(attr_cols.reshape(num_blocks, chunk, ROWS), 1, 2)
 
     # Per-block metadata for the worklist.
