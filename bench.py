@@ -54,7 +54,7 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
             # kernel grid, sorts) all scale with these static sizes.
             # max_per_tile=2048 keeps every intersection (gsplat has no
             # per-tile cap; tile_dropped stays 0 at this scene size).
-            flat_blocks=15360,
+            flat_blocks=14336,
             dup_capacity=1_572_864,
             span_capacity=786_432,
             max_per_tile=2048,
@@ -83,7 +83,7 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
     from tinysplat_tpu.train import init_opt_state, make_train_step
 
     cfg = Config(rasterizer=backend, sh_degree=3,
-                 flat_blocks=15360, dup_capacity=1_572_864,
+                 flat_blocks=14336, dup_capacity=1_572_864,
                  span_capacity=786_432, max_per_tile=2048)
     tstep = make_train_step(cfg, height, width)
     opt = init_opt_state(cfg, state)
