@@ -260,15 +260,48 @@ def _sorted_intersections(
     )
     pos_ok = span_valid & (span_len > 0) & (starts2 < d2)
     starts2_safe = jnp.where(pos_ok, starts2, d2)
-    # Two 1-col scatters at span granularity (a combined (d2, 2) scatter
-    # lands in a T(2,128) layout that is 2.3x SLOWER than both 1-col
-    # scatters together — measured v5e).
-    delta = jnp.ones((d2,), jnp.int32)
-    delta = delta.at[starts2_safe].set(span_base - prev_end, mode="drop",
-                                       unique_indices=True)
-    tile_lin = jnp.cumsum(delta)
-    mark2 = jnp.zeros((d2,), jnp.int32).at[starts2_safe].max(span_rank, mode="drop")
-    rank_of = jax.lax.cummax(mark2)  # monotone across spans
+    # The tile-id delta and the depth rank scatter to the SAME span-start
+    # positions. When both fit one 32-bit word (rank in the high bits so the
+    # cummax fill stays monotone; the signed delta biased into the low
+    # bits), ONE packed scatter replaces two — XLA's scatter cost is per
+    # index, so this halves the dominant level-2 cost. (A (d2, 2) row
+    # scatter is NOT equivalent: it lands in a T(2,128) layout that is 2.3x
+    # slower than two 1-col scatters — measured v5e.)
+    rank_bits = max(int(n - 1).bit_length(), 1)
+    delta_bits = 32 - rank_bits  # uint32 packing
+    # |delta| <= num_tiles (a jump never exceeds the grid) and the biased
+    # value must be non-negative and fit delta_bits.
+    if delta_bits >= 2 and num_tiles < (1 << (delta_bits - 1)):
+        bias = 1 << (delta_bits - 1)
+        packed2 = (
+            (span_rank.astype(jnp.uint32) << delta_bits)
+            | (span_base - prev_end + bias).astype(jnp.uint32)
+        )
+        init_val = jnp.uint32(1 + bias)  # rank 0, delta +1
+        scat = jnp.full((d2,), init_val).at[starts2_safe].set(
+            packed2, mode="drop", unique_indices=True
+        )
+        # cummax is monotone because the (monotone) rank occupies the high
+        # bits; only the RANK is read from the filled array — the delta of
+        # non-start positions is rebuilt as +1 from the PRE-fill array. A
+        # start whose packed word equals init_val (rank 0, delta 1) is
+        # indistinguishable from padding, and contributes identically.
+        filled = jax.lax.cummax(scat)
+        rank_of = (filled >> delta_bits).astype(jnp.int32)
+        delta = jnp.where(
+            scat != init_val,
+            (scat & jnp.uint32(2 * bias - 1)).astype(jnp.int32) - bias,
+            1,
+        )
+        tile_lin = jnp.cumsum(delta)
+    else:
+        delta = jnp.ones((d2,), jnp.int32)
+        delta = delta.at[starts2_safe].set(span_base - prev_end, mode="drop",
+                                           unique_indices=True)
+        tile_lin = jnp.cumsum(delta)
+        mark2 = jnp.zeros((d2,), jnp.int32).at[starts2_safe].max(
+            span_rank, mode="drop")
+        rank_of = jax.lax.cummax(mark2)  # monotone across spans
 
     in_range = jnp.arange(d2) < jnp.minimum(total2, d2)
     tile_of = jnp.where(in_range, tile_lin, num_tiles).astype(jnp.int32)
