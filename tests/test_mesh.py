@@ -53,3 +53,41 @@ def test_extract_mesh_from_splats():
     assert normals.shape == verts.shape
     # Surface sits near the blob, not at the grid border.
     assert np.linalg.norm(verts, axis=-1).max() < 1.0
+
+
+@pytest.mark.slow
+def test_extract_mesh_poisson_from_scene():
+    """End-to-end poisson path: render depth -> level-surface points ->
+    first-party screened-Poisson reconstruction (replaces the reference's
+    Open3D call at model_gaussian.py:458-480)."""
+    from tinysplat_tpu.data.synthetic import orbit_cameras
+    from tinysplat_tpu.scene import Scene
+    from tinysplat_tpu.render import render
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    # Spherical shell of opaque splats -> a closed surface.
+    u = rng.normal(size=(600, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    xyz = (u * 0.5).astype(np.float32)
+    colors = rng.uniform(100, 255, size=(600, 3)).astype(np.float32)
+    state = init_from_pcd(xyz, colors, sh_degree=1, capacity=1024,
+                          opacity_init=0.95)
+
+    cams = orbit_cameras(6, width=96, height=96, radius=2.5)
+
+    def render_fn(cam, dims=None):
+        rgb, extras = render(state.params, state.alive, cam.params(), 96, 96,
+                             active_sh_degree=jnp.int32(1),
+                             background=jnp.zeros(3), rasterizer="tiled")
+        return rgb, extras
+
+    scene = Scene(cams, render_fn=render_fn)
+    verts, faces, normals = extract_mesh(
+        state, "poisson", scene=scene, poisson_depth=6,
+    )
+    assert len(verts) > 100 and len(faces) > 100
+    r = np.linalg.norm(verts, axis=-1)
+    # Surface near the shell radius (level-surface points ride the density).
+    assert 0.2 < np.median(r) < 0.9, np.median(r)
+    assert normals.shape == verts.shape
