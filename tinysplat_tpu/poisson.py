@@ -112,6 +112,45 @@ def _splat_trilinear(points_g: jax.Array, values: jax.Array, res: int) -> jax.Ar
     return grid.reshape(res, res, res, c)
 
 
+def _spectral_solve(vgrid: jax.Array, resolution: int, screen: float) -> jax.Array:
+    """Spectral divergence + inverse screened Laplacian in one pass.
+
+    Runs on the default device; some TPU runtimes (the tunneled axon
+    backend here) don't implement FFT, so the transform falls back to the
+    host CPU — this is offline mesh tooling, a 256-cube numpy FFT is
+    seconds.
+    """
+    freqs = np.fft.fftfreq(resolution).astype(np.float32) * (2.0 * np.pi)
+    kx = freqs[:, None, None]
+    ky = freqs[None, :, None]
+    kz = freqs[None, None, :]
+    k2 = kx * kx + ky * ky + kz * kz
+    # Screening regularizes the near-DC modes (the plain Poisson solve is
+    # only defined up to those); expressed in cells so it is resolution-
+    # independent at fixed physical scale.
+    screen_hat = screen * (2.0 * np.pi / resolution) ** 2
+
+    try:
+        vhat = jnp.fft.fftn(vgrid, axes=(0, 1, 2))
+        div_hat = 1j * (
+            kx * vhat[..., 0] + ky * vhat[..., 1] + kz * vhat[..., 2]
+        )
+        chi_hat = jnp.where(k2 > 0, div_hat / -(k2 + screen_hat), 0.0)
+        chi = jnp.real(jnp.fft.ifftn(chi_hat, axes=(0, 1, 2)))
+        jax.block_until_ready(chi)
+        return chi
+    except Exception:  # UNIMPLEMENTED FFT on this backend -> host numpy
+        v = np.asarray(jax.device_get(vgrid))
+        vhat = np.fft.fftn(v, axes=(0, 1, 2))
+        div_hat = 1j * (
+            kx * vhat[..., 0] + ky * vhat[..., 1] + kz * vhat[..., 2]
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            chi_hat = np.where(k2 > 0, div_hat / -(k2 + screen_hat), 0.0)
+        return jnp.asarray(np.real(np.fft.ifftn(chi_hat, axes=(0, 1, 2)))
+                           .astype(np.float32))
+
+
 def solve_indicator(
     points: jax.Array,
     normals: jax.Array,
@@ -138,20 +177,7 @@ def solve_indicator(
     # inward (chi grows toward the inside), so the RHS carries a minus sign.
     vgrid = _splat_trilinear(pts_g, -normals, resolution)
 
-    # Spectral divergence + inverse (screened) Laplacian in one pass.
-    freqs = jnp.fft.fftfreq(resolution) * (2.0 * jnp.pi)  # cycles/cell
-    kx = freqs[:, None, None]
-    ky = freqs[None, :, None]
-    kz = freqs[None, None, :]
-    vhat = jnp.fft.fftn(vgrid, axes=(0, 1, 2))
-    div_hat = 1j * (kx * vhat[..., 0] + ky * vhat[..., 1] + kz * vhat[..., 2])
-    k2 = kx * kx + ky * ky + kz * kz
-    # Screening regularizes the near-DC modes (the plain Poisson solve is
-    # only defined up to those); expressed in cells so it is resolution-
-    # independent at fixed physical scale.
-    screen_hat = screen * (2.0 * jnp.pi / resolution) ** 2
-    chi_hat = jnp.where(k2 > 0, div_hat / -(k2 + screen_hat), 0.0)
-    chi = jnp.real(jnp.fft.ifftn(chi_hat, axes=(0, 1, 2)))
+    chi = _spectral_solve(vgrid, resolution, screen)
 
     # Iso level: median indicator value at the samples (trilinear lookup).
     base = jnp.clip(jnp.floor(pts_g).astype(jnp.int32), 0, resolution - 2)
