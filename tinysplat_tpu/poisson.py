@@ -112,15 +112,19 @@ def _splat_trilinear(points_g: jax.Array, values: jax.Array, res: int) -> jax.Ar
     return grid.reshape(res, res, res, c)
 
 
-def _spectral_solve(vgrid: jax.Array, resolution: int, screen: float) -> jax.Array:
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _spectral_solve_jit(vgrid: jax.Array, resolution: int, screen: float):
     """Spectral divergence + inverse screened Laplacian in one pass.
 
-    Runs on the default device; some TPU runtimes (the tunneled axon
-    backend here) don't implement FFT, so the transform falls back to the
-    host CPU — this is offline mesh tooling, a 256-cube numpy FFT is
-    seconds.
+    Jitted as ONE executable deliberately: the tunneled axon TPU backend
+    mishandles QUEUED eager complex-FFT ops (async dispatch of the unjitted
+    chain fails UNIMPLEMENTED; each op alone succeeds), and one compiled
+    program is faster anyway.
     """
-    freqs = np.fft.fftfreq(resolution).astype(np.float32) * (2.0 * np.pi)
+    freqs = jnp.fft.fftfreq(resolution).astype(jnp.float32) * (2.0 * jnp.pi)
     kx = freqs[:, None, None]
     ky = freqs[None, :, None]
     kz = freqs[None, None, :]
@@ -128,18 +132,25 @@ def _spectral_solve(vgrid: jax.Array, resolution: int, screen: float) -> jax.Arr
     # Screening regularizes the near-DC modes (the plain Poisson solve is
     # only defined up to those); expressed in cells so it is resolution-
     # independent at fixed physical scale.
-    screen_hat = screen * (2.0 * np.pi / resolution) ** 2
+    screen_hat = screen * (2.0 * jnp.pi / resolution) ** 2
+    vhat = jnp.fft.fftn(vgrid, axes=(0, 1, 2))
+    div_hat = 1j * (kx * vhat[..., 0] + ky * vhat[..., 1] + kz * vhat[..., 2])
+    chi_hat = jnp.where(k2 > 0, div_hat / -(k2 + screen_hat), 0.0)
+    return jnp.real(jnp.fft.ifftn(chi_hat, axes=(0, 1, 2)))
 
+
+def _spectral_solve(vgrid: jax.Array, resolution: int, screen: float) -> jax.Array:
     try:
-        vhat = jnp.fft.fftn(vgrid, axes=(0, 1, 2))
-        div_hat = 1j * (
-            kx * vhat[..., 0] + ky * vhat[..., 1] + kz * vhat[..., 2]
-        )
-        chi_hat = jnp.where(k2 > 0, div_hat / -(k2 + screen_hat), 0.0)
-        chi = jnp.real(jnp.fft.ifftn(chi_hat, axes=(0, 1, 2)))
+        chi = _spectral_solve_jit(vgrid, resolution, screen)
         jax.block_until_ready(chi)
         return chi
-    except Exception:  # UNIMPLEMENTED FFT on this backend -> host numpy
+    except Exception:  # no FFT support on this backend -> host numpy
+        freqs = np.fft.fftfreq(resolution).astype(np.float32) * (2.0 * np.pi)
+        kx = freqs[:, None, None]
+        ky = freqs[None, :, None]
+        kz = freqs[None, None, :]
+        k2 = kx * kx + ky * ky + kz * kz
+        screen_hat = screen * (2.0 * np.pi / resolution) ** 2
         v = np.asarray(jax.device_get(vgrid))
         vhat = np.fft.fftn(v, axes=(0, 1, 2))
         div_hat = 1j * (
