@@ -48,14 +48,13 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
             active_sh_degree=jnp.int32(3), background=background,
             rasterizer=backend,
             # Tuned from measured diagnostics at this scene size (ellipse
-            # cull leaves ~1.12M intersections in ~13.6k aligned blocks,
-            # ~560k row spans) with >=1.1x headroom and ZERO dropped
-            # entries — the per-entry glue (attr gather, grad scatter,
-            # kernel grid, sorts) all scale with these static sizes.
-            # max_per_tile=2048 keeps every intersection (gsplat has no
-            # per-tile cap; tile_dropped stays 0 at this scene size).
-            flat_blocks=14336,
-            dup_capacity=1_572_864,
+            # cull leaves ~1.12M intersections, ~560k row spans) with
+            # >=1.1x headroom and ZERO dropped entries — the per-entry glue
+            # (attr gather, grad reduction, kernel windows, sorts) all
+            # scales with these static sizes. max_per_tile=2048 keeps every
+            # intersection (gsplat has no per-tile cap; tile_dropped stays
+            # 0 at this scene size).
+            dup_capacity=1_280_000,
             span_capacity=786_432,
             max_per_tile=2048,
         )
@@ -83,8 +82,8 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
     from tinysplat_tpu.train import init_opt_state, make_train_step
 
     cfg = Config(rasterizer=backend, sh_degree=3,
-                 flat_blocks=14336, dup_capacity=1_572_864,
-                 span_capacity=786_432, max_per_tile=2048)
+                 dup_capacity=1_280_000, span_capacity=786_432,
+                 max_per_tile=2048)
     tstep = make_train_step(cfg, height, width)
     opt = init_opt_state(cfg, state)
     gt = jnp.zeros((height, width, 3), jnp.float32)

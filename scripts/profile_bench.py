@@ -19,7 +19,11 @@ def main():
     p.add_argument("--width", type=int, default=1600)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--top", type=int, default=30)
-    p.add_argument("--flat-blocks", type=int, default=16384)
+    p.add_argument("--dup-capacity", type=int, default=1_280_000)
+    p.add_argument("--span-capacity", type=int, default=786_432)
+    p.add_argument("--chunk", type=int, default=128)
+    p.add_argument("--grad-reduce", default="sorted",
+                   choices=["scatter", "sorted", "segment"])
     p.add_argument("--logdir", default="/tmp/jtrace")
     args = p.parse_args()
 
@@ -36,7 +40,9 @@ def main():
         rgb, extras = render(
             params, state.alive, cam, args.height, args.width,
             active_sh_degree=jnp.int32(3), background=background,
-            rasterizer=backend, flat_blocks=args.flat_blocks,
+            rasterizer=backend, dup_capacity=args.dup_capacity,
+            span_capacity=args.span_capacity, max_per_tile=2048,
+            grad_reduce=args.grad_reduce, chunk=args.chunk,
         )
         return jnp.sum(rgb) + jnp.sum(extras["depth"])
 

@@ -5,8 +5,9 @@ Usage mirrors /root/reference/scripts/train.py:162-294:
     python scripts/train.py --train --dataset-dir datasets/truck \
         --regularize-depth --viewer
 
-plus TPU-framework extras (--rasterizer, --synthetic, --mesh-data/--mesh-tile
-for multi-chip). Flags are generated from the typed Config dataclass
+plus TPU-framework extras (--rasterizer, --synthetic, --mesh-splat/--mesh-tile
+for multi-chip; --mesh-splat maps to the mesh's 'data' axis — the FSDP splat
+shard — and --mesh-tile to the image-band 'tile' axis). Flags are generated from the typed Config dataclass
 (tinysplat_tpu/config.py), whose field names/defaults replicate the reference
 argparse table one to one.
 """

@@ -71,3 +71,37 @@ def test_dup_overflow_reported():
                       jnp.ones(4, bool), 4, 4, 16, dup_capacity=32)
     assert int(bins.total_intersections) == 64
     assert int(bins.dup_overflow) == 32
+
+
+def test_dense_bins_layout():
+    """DenseBins: the sort output IS the layout — segments match TileBins."""
+    import jax.numpy as jnp
+    from tinysplat_tpu.ops.binning import bin_splats, bin_splats_dense
+
+    rng = np.random.default_rng(5)
+    n, H, W, ts = 60, 64, 96, 16
+    tiles_x, tiles_y = W // ts, H // ts
+    xys = jnp.asarray(rng.uniform(-8, [W + 8, H + 8], (n, 2)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(0.5, 5.0, n).astype(np.float32))
+    radii = jnp.asarray(rng.integers(1, 20, n).astype(np.int32))
+    valid = jnp.asarray(rng.uniform(size=n) > 0.2)
+
+    tb = bin_splats(xys, depths, radii, valid, tiles_x, tiles_y, ts)
+    db = bin_splats_dense(xys, depths, radii, valid, tiles_x, tiles_y, ts,
+                          chunk=8)
+    assert int(db.total_intersections) == int(tb.total_intersections)
+    order = np.asarray(db.order)
+    ranks = np.asarray(db.entry_rank)
+    starts = np.asarray(db.tile_starts)
+    counts = np.asarray(db.counts)
+    # Every tile's dense segment holds exactly the TileBins list (converted
+    # from depth ranks to splat ids), in the same front-to-back order.
+    for t in range(tiles_x * tiles_y):
+        seg = ranks[starts[t] : starts[t] + counts[t]]
+        assert (seg >= 0).all()
+        ids = order[seg]
+        expect = np.asarray(tb.idx_lists[t][: int(tb.counts[t])])
+        np.testing.assert_array_equal(ids, expect)
+    # Pads everywhere else past the used range.
+    used = int(db.num_entries)
+    assert (ranks[used:] == -1).all()

@@ -70,6 +70,7 @@ def test_sharded_roundtrip_reshard(tmp_path):
     _trees_equal(state, st2)
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_sharded_resume_equivalence(tmp_path):
     """step -> save -> restore -> step == two uninterrupted steps."""
     cfg = Config(rasterizer="tiled", sh_degree=2, warmup_grad=0)

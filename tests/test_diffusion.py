@@ -22,6 +22,7 @@ from tinysplat_tpu.diffusion import (
 from tinysplat_tpu.diffusion.pipeline import _dummy_cams
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_unet2d_shapes():
     net = UNet2D(sample_size=16, in_channels=3, out_channels=8,
                  block_out_channels=(8, 16))
@@ -68,6 +69,7 @@ def test_ddim_scheduler_noising_and_steps():
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x), atol=1e-4)
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_feature_volume_encoder_shapes():
     fe = FeatureVolumeEncoder(sample_size=16, num_channels=8, latent_dim=8,
                               unet_block_out_channels=(8, 16))

@@ -154,6 +154,7 @@ def _shapes_from_flax(params, keys):
     return shapes
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_unet_port_golden_names():
     from tinysplat_tpu.diffusion.sd_unet import UNet2DConditionModel
 
@@ -218,6 +219,7 @@ def test_vae_port_legacy_attention_names():
     assert not unused
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_full_directory_load(tmp_path):
     """End-to-end: write a diffusers-format dir (config.json + first-party
     safetensors) and load through the public entry points."""
@@ -257,6 +259,7 @@ def test_full_directory_load(tmp_path):
     assert out.shape == (2, 8, 8, 4) and bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_pipeline_from_pretrained(tmp_path):
     """Pipeline loads a local diffusers-format directory end-to-end and
     generates (stock-SD layout: no feature-volume channels -> feature
@@ -326,6 +329,7 @@ def test_pipeline_from_pretrained(tmp_path):
     assert out.shape == (B, 3, 16, 16) and bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_clip_text_encoder_matches_transformers(tmp_path):
     """NUMERICAL golden test: the flax CLIPTextModel ported from a real
     torch transformers checkpoint must reproduce its hidden states."""

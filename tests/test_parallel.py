@@ -83,14 +83,15 @@ def _run(mesh_shape, state, cam_batch, gt, est, steps=2, rasterizer="tiled",
 
 
 @pytest.mark.parametrize("mesh_shape,rasterizer", [
-    ((2, 4), "tiled"),
-    # Degenerate mesh factorizations: compile-heavy, low marginal signal —
-    # keep the default suite under the time budget (README 'Running tests').
+    # The flagship Pallas kernels must agree under shard_map (interpret mode
+    # on CPU; the same program runs compiled on a real pod slice) — the one
+    # fast-gate 1-vs-N equivalence case. Other factorizations + the XLA
+    # fallback are compile-heavy with low marginal signal: full suite only
+    # (README 'Running tests').
+    ((2, 4), "pallas"),
+    pytest.param((2, 4), "tiled", marks=pytest.mark.slow),
     pytest.param((1, 4), "tiled", marks=pytest.mark.slow),
     pytest.param((2, 2), "tiled", marks=pytest.mark.slow),
-    # The flagship Pallas kernels must agree under shard_map too (interpret
-    # mode on CPU; the same program runs compiled on a real pod slice).
-    ((2, 4), "pallas"),
 ])
 def test_sharded_step_matches_single_device(mesh_shape, rasterizer):
     state, cam_batch, gt, est = _setup()
@@ -116,6 +117,7 @@ def test_sharded_step_matches_single_device(mesh_shape, rasterizer):
     )
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_sharded_density_matches_single_device():
     """1-vs-N equivalence WITH the SuGaR density regularizer active
     (VERDICT r1 item 4; reference configs[3], scripts/train.py:77-91)."""

@@ -5,6 +5,7 @@ create_from_point_cloud_poisson at
 /root/reference/tinysplat/splatting/model_gaussian.py:458-480.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tinysplat_tpu.poisson import (
@@ -30,6 +31,7 @@ def test_estimate_normals_sphere():
     assert (dots > 0.9).mean() > 0.98, dots.mean()
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_reconstruct_sphere_geometry():
     p = _sphere(6000)
     vo = (p * 5.0).astype(np.float32)

@@ -1,6 +1,7 @@
 """Pallas kernel vs dense oracle: images and gradients (interpret mode on CPU;
 the same kernels compile for TPU — bench.py exercises that path)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +19,7 @@ def test_pallas_matches_dense_image():
     np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_d), atol=5e-5)
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_pallas_matches_dense_multiblock():
     """Force multiple chunks per tile (chunk smaller than per-tile counts)."""
     case = random_case(n=200, H=32, W=32, seed=1)
@@ -26,7 +28,8 @@ def test_pallas_matches_dense_multiblock():
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_d), atol=5e-5)
 
 
-def test_pallas_gradients_match_dense():
+@pytest.mark.parametrize("grad_reduce", ["sorted", "scatter", "segment"])
+def test_pallas_gradients_match_dense(grad_reduce):
     case = random_case(n=80, H=32, W=48, seed=2)
     xys, depths, radii, conics, colors, opac, valid, H, W, bg = to_jnp(case)
     tgt = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (H, W, 4)).astype(np.float32))
@@ -37,7 +40,7 @@ def test_pallas_gradients_match_dense():
 
     def loss_pallas(xys, conics, colors, opac):
         img, _ = rasterize_pallas(xys, depths, radii, conics, colors, opac, valid,
-                                  H, W, bg, chunk=16)
+                                  H, W, bg, chunk=16, grad_reduce=grad_reduce)
         return jnp.mean((img - tgt) ** 2)
 
     g_d = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2, 3)))(xys, conics, colors, opac)
@@ -49,6 +52,7 @@ def test_pallas_gradients_match_dense():
         )
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_pallas_gradients_with_heavy_occlusion():
     """Early-exit boundary: opaque stacks exercise the n_contrib machinery."""
     n, H, W = 48, 16, 16

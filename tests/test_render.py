@@ -1,5 +1,6 @@
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from tinysplat_tpu.data.synthetic import random_gaussian_cloud, orbit_cameras
@@ -75,6 +76,7 @@ def test_render_jits_and_grads():
     assert np.abs(np.asarray(g.means)).sum() > 0
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_xys_probe_gradient():
     """The zero probe's gradient equals the screen-space xy gradient."""
     params = make_params(n=32)

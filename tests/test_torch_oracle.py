@@ -126,6 +126,7 @@ def test_render_matches_torch_oracle(backend):
     np.testing.assert_allclose(np.asarray(rgb), timg, atol=2e-4)
 
 
+@pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_gradients_match_torch_oracle():
     means, log_scales, quats, colors, opac, cam = _setup()
     bg = np.asarray([0.0, 0.0, 0.0], np.float32)

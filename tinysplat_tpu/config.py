@@ -102,8 +102,8 @@ class Config:
     # binning cost proportionally (diagnostics report overflow counts).
     dup_capacity: int = 0
     max_per_tile: int = 0
-    flat_blocks: int = 0  # pallas worklist block budget (0 = worst case)
     span_capacity: int = 0  # binning row-span budget (0 = auto)
+    grad_reduce: str = "sorted"  # pallas entry-grad reduction: scatter|sorted|segment
     viewdirs_mode: str = "reference"  # see render.compute_viewdirs
     # Divergence guard: in-memory snapshot every k steps; non-finite loss
     # rolls training back to it with fresh RNG (0 disables).

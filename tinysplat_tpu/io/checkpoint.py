@@ -86,6 +86,19 @@ def save_checkpoint_sharded(
     """
     proc = jax.process_index()
     pdir = os.path.join(ckpt_dir, f"p{proc}")
+    # A reused directory could hold shard files from a DIFFERENT mesh or leaf
+    # set; restore's glob over p*/ would silently mix them in. Start clean.
+    if proc == 0 and os.path.isdir(ckpt_dir):
+        import glob as _glob
+        import shutil
+
+        stale = _glob.glob(os.path.join(ckpt_dir, "p*"))
+        for d in stale:
+            shutil.rmtree(d, ignore_errors=True)
+        m = os.path.join(ckpt_dir, "manifest.npz")
+        if os.path.exists(m):
+            os.remove(m)
+    _barrier("ckpt_clean")  # writers must not race process 0's cleanup
     os.makedirs(pdir, exist_ok=True)
 
     trees = {"state": state} if opt_state is None else {
@@ -116,11 +129,24 @@ def save_checkpoint_sharded(
                 np.save(base + ".npy", np.asarray(shard.data))
                 np.save(base + ".idx.npy", bounds)
 
+    # The manifest's presence marks the checkpoint complete: every process
+    # must finish its shard files BEFORE process 0 publishes it, and nobody
+    # may return (and e.g. start a restore) before it exists.
+    _barrier("ckpt_shards_done")
     if proc == 0:
         tmp = os.path.join(ckpt_dir, "manifest.npz.tmp")
         with open(tmp, "wb") as f:
             np.savez(f, **meta)
         os.replace(tmp, os.path.join(ckpt_dir, "manifest.npz"))
+    _barrier("ckpt_manifest_done")
+
+
+def _barrier(tag: str) -> None:
+    """Cross-process barrier (no-op single-process, the common case here)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
 
 
 def restore_checkpoint_sharded(

@@ -21,10 +21,12 @@ per index regardless of row width — with scans instead of per-entry gathers:
    orders every tile's intersections front-to-back; depth-rank order breaks
    ties deterministically (sharding-invariant, SURVEY.md section 7
    'sorted-order determinism').
-4. Entries are scattered into either a dense (num_tiles, max_per_tile) index
-   table (TileBins, the XLA rasterizer) or a chunk-aligned flat worklist
-   (FlatBins, the Pallas kernels), padded with -1. Overflowing tiles keep
-   their *nearest* max_per_tile splats (entries arrive depth-sorted).
+4. The sorted entry list is consumed in one of two layouts: DenseBins — the
+   sort output itself, unpadded, with per-tile [start, count) ranges (the
+   Pallas kernels walk ranges with their own DMA windows) — or scattered
+   into a dense (num_tiles, max_per_tile) index table (TileBins, the XLA
+   fallback rasterizer). Overflowing tiles keep their *nearest*
+   max_per_tile splats (entries arrive depth-sorted).
 
 All capacity knobs are static; overflow is reported as device scalars so the
 caller can grow them (one recompile, same pattern as splat-capacity growth).
@@ -40,25 +42,29 @@ from .projection import tile_ranges
 from .rasterize_dense import ALPHA_EPS
 
 
-class FlatBins(NamedTuple):
-    """CHUNK-aligned flat intersection layout for the Pallas rasterizer.
+class DenseBins(NamedTuple):
+    """UNPADDED (tile, depth)-sorted intersection layout (round-3 design).
 
-    Entries live in one flat array of ``num_blocks * chunk`` slots; each
-    tile's (depth-sorted) entries occupy a contiguous, chunk-aligned segment,
-    padded with -1. Every chunk-sized block therefore belongs to exactly one
-    tile — the Pallas grid walks blocks with zero idle steps. Tiles with no
-    intersections still get one (all-pad) block so their output tile is
-    initialized.
+    Entries are exactly the stable-sort output laid out densely: tile t's
+    depth-sorted entries occupy ``[tile_starts[t], tile_starts[t] +
+    full_counts[t])`` with NO per-tile chunk alignment — the Pallas kernels
+    walk each tile's (arbitrary-offset) range with their own chunked DMA
+    loops, so the ~40% per-tile ceil-to-chunk padding of the old FlatBins
+    layout disappears from every entry-indexed cost at once: the attribute
+    gather, the gradient reduction, both kernel grids, and this structure's
+    own build (the aligned-position scatter is gone — the sort IS the
+    layout). One trailing all-pad chunk keeps dynamic-slice DMA windows
+    ``[start + k*chunk, +chunk)`` in bounds (a clamped window start would
+    silently shift the window).
     """
 
-    entry_splat: jax.Array  # (num_blocks * chunk,) int32 DEPTH RANKS, -1 pad
-    order: jax.Array  # (N,) depth sort: original id = order[rank]. Consumers
-    # index depth-permuted per-splat tables with entry_splat directly (an
-    # N-sized table permute is ~1000x cheaper than a per-entry id gather).
-    block_tile: jax.Array  # (num_blocks,) int32 owning tile of each block
-    block_first: jax.Array  # (num_blocks,) int32 1 if first block of its tile
-    num_blocks_used: jax.Array  # () int32 blocks actually populated
-    total_intersections: jax.Array  # () int32
+    entry_rank: jax.Array  # (dup_capacity + chunk,) int32 DEPTH RANKS, -1 pad
+    entry_tile: jax.Array  # (dup_capacity + chunk,) int32 owner tile, last pad
+    order: jax.Array  # (N,) depth sort: original id = order[rank]
+    tile_starts: jax.Array  # (num_tiles,) int32 segment start per tile
+    counts: jax.Array  # (num_tiles,) int32 clamped to max_per_tile
+    num_entries: jax.Array  # () int32 kept entries (<= dup_capacity)
+    total_intersections: jax.Array  # () int32 before clamping
     dup_overflow: jax.Array  # () int32
     tile_overflow: jax.Array  # () int32
 
@@ -401,13 +407,7 @@ def bin_splats(
     )
 
 
-def flat_num_blocks(dup_capacity: int, num_tiles: int, chunk: int) -> int:
-    """Static block-count bound for the flat layout: every intersection plus
-    at most one partial/empty block per tile."""
-    return dup_capacity // chunk + num_tiles
-
-
-def bin_splats_flat(
+def bin_splats_dense(
     xys: jax.Array,
     depths: jax.Array,
     radii: jax.Array,
@@ -418,24 +418,18 @@ def bin_splats_flat(
     chunk: int = 128,
     dup_capacity: int = 0,
     max_per_tile: int = 0,
-    flat_blocks: int = 0,
     span_capacity: int = 0,
     conics: Optional[jax.Array] = None,
     opacities: Optional[jax.Array] = None,
-) -> FlatBins:
-    """Build the chunk-aligned flat intersection layout (see FlatBins).
+) -> DenseBins:
+    """Build the unpadded dense intersection layout (see DenseBins).
 
-    Same sorted-intersection core as :func:`bin_splats`; entries are scattered
-    to ``aligned_start[tile] + within_rank`` where aligned starts are the
-    exclusive cumsum of per-tile padded counts ``max(chunk,
-    ceil(min(count, max_per_tile)/chunk)*chunk)``.
-
-    ``flat_blocks`` caps the static worklist size (default 0 = the
-    overflow-proof worst case ``flat_num_blocks(dup_capacity, num_tiles,
-    chunk)``). Every downstream per-entry op (attr gather, kernel grid, grad
-    scatter) scales with this static size, and typical scenes use well under
-    half the worst case — set it from observed ``num_blocks_used`` (x1.5
-    headroom) and watch ``dup_overflow`` for the recompile-and-grow signal.
+    The sort output IS the layout: no per-tile alignment, no placement
+    scatter (the old FlatBins entry scatter was ~7 ms/step at bench scale on
+    v5e). Tile segments are located by ``tile_starts``/``counts``; entries
+    beyond ``max_per_tile`` stay in the array (depth-ordered, so they are the
+    segment's tail) but are excluded from ``counts`` — the kernels simply
+    never walk them.
     """
     n = xys.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -452,61 +446,31 @@ def bin_splats_flat(
         span_capacity=span_capacity, conics=conics, opacities=opacities,
     )
     counts = jnp.minimum(full_counts, max_per_tile)
-
-    # Chunk-aligned segment starts (>= 1 block even for empty tiles).
-    padded = jnp.maximum((counts + chunk - 1) // chunk, 1) * chunk
-    seg_ends = jnp.cumsum(padded)
-    seg_starts = seg_ends - padded
-    num_blocks = flat_num_blocks(dup_capacity, num_tiles, chunk)
-    if flat_blocks > 0:
-        num_blocks = min(num_blocks, flat_blocks)
-    flat_size = num_blocks * chunk
-
-    # Aligned base per entry, gather-free: bases are increasing in tile id,
-    # and entries are tile-sorted, so scattering each tile's base at its run
-    # start + a cummax fill reproduces seg_starts[sorted_tile].
-    nonempty = full_counts > 0
-    run_pos = jnp.where(nonempty, tile_starts, sorted_tile.shape[0])
-    base_mark = jnp.zeros((sorted_tile.shape[0],), jnp.int32)
-    base_mark = base_mark.at[run_pos].max(seg_starts.astype(jnp.int32), mode="drop")
-    entry_base = jax.lax.cummax(base_mark)
-
-    # Scatter sorted entries into their aligned positions.
-    keep = (sorted_tile < num_tiles) & (within < max_per_tile)
-    pos = jnp.where(keep, entry_base + within, flat_size)
-    entry_splat = jnp.full((flat_size,), -1, jnp.int32)
-    entry_splat = entry_splat.at[pos].set(
-        sorted_rank.astype(jnp.int32), mode="drop", unique_indices=True
+    pad_entries = sorted_tile >= num_tiles
+    entry_rank = jnp.where(pad_entries, -1, sorted_rank).astype(jnp.int32)
+    entry_tile = jnp.minimum(sorted_tile, num_tiles - 1).astype(jnp.int32)
+    # One trailing all-pad chunk: DMA windows [start + k*chunk, +chunk) must
+    # never cross the array end (dynamic-slice starts CLAMP, silently
+    # shifting the window — measured, not hypothetical).
+    entry_rank = jnp.concatenate(
+        [entry_rank, jnp.full((chunk,), -1, jnp.int32)]
     )
-
-    # Per-block metadata. Blocks past the used range belong to the last tile
-    # and are all-pad (no-ops in the kernel).
-    blocks = jnp.arange(num_blocks, dtype=jnp.int32)
-    block_ends = (seg_ends // chunk).astype(jnp.int32)
-    block_tile = jnp.minimum(
-        jnp.searchsorted(block_ends, blocks, side="right").astype(jnp.int32),
-        num_tiles - 1,
+    entry_tile = jnp.concatenate(
+        [entry_tile, jnp.full((chunk,), num_tiles - 1, jnp.int32)]
     )
-    block_starts_of_tile = (seg_starts // chunk).astype(jnp.int32)
-    block_first = (blocks == block_starts_of_tile[block_tile]).astype(jnp.int32)
-    # Unused trailing blocks must not re-initialize the last tile's output.
-    used_full = block_ends[num_tiles - 1]
-    used = jnp.minimum(used_full, num_blocks)
-    block_first = jnp.where(blocks < used, block_first, 0)
-    flat_dropped = jnp.maximum(used_full - num_blocks, 0) * chunk
+    num_entries = jnp.minimum(total, dup_capacity).astype(jnp.int32)
 
     dup_overflow = (
-        jnp.maximum(total - sorted_tile.shape[0], 0).astype(jnp.int32)
-        + span_overflow
-        + flat_dropped.astype(jnp.int32)
+        jnp.maximum(total - dup_capacity, 0).astype(jnp.int32) + span_overflow
     )
     tile_overflow = jnp.sum(full_counts - counts).astype(jnp.int32)
-    return FlatBins(
-        entry_splat=entry_splat,
+    return DenseBins(
+        entry_rank=entry_rank,
+        entry_tile=entry_tile,
         order=order.astype(jnp.int32),
-        block_tile=block_tile,
-        block_first=block_first,
-        num_blocks_used=used,
+        tile_starts=tile_starts.astype(jnp.int32),
+        counts=counts,
+        num_entries=num_entries,
         total_intersections=total.astype(jnp.int32),
         dup_overflow=dup_overflow,
         tile_overflow=tile_overflow,

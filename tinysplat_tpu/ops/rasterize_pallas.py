@@ -6,33 +6,68 @@ calls at /root/reference/tinysplat/splatting/rasterize.py:44,50. Semantics
 are identical to ``rasterize_dense`` (and therefore to the CUDA kernel's
 front-to-back compositing with early exit; see that module's docstring).
 
-Work decomposition
-------------------
-``bin_splats_flat`` lays every tile's depth-sorted intersections out in
-chunk-aligned segments of one flat array, so each CHUNK-entry block belongs
-to exactly one 16x16 tile. The kernel grid is simply *(num_blocks,)* — a
-compacted worklist with zero idle steps (unlike a (tiles, max_chunks) grid,
-no tile pays for the worst-case list length). Per-tile sequencing falls out
-of grid order: Pallas keeps the output tile block resident in VMEM across
-consecutive grid steps of the same tile and spills it exactly once.
+Work decomposition (round-3 design: dense worklist, per-tile DMA loops)
+-----------------------------------------------------------------------
+``bin_splats_dense`` lays every tile's depth-sorted intersections out
+CONTIGUOUSLY in one unpadded array — the (tile, depth) sort output IS the
+layout. The kernel grid is *(num_tiles,)*; each grid step walks its tile's
+``[start, start+count)`` entry range in CHUNK-entry windows with its own
+double-buffered DMA loop at *arbitrary, unaligned* offsets. This is the
+same decomposition as gsplat's CUDA kernel (one thread-block per tile
+iterating its sorted range in warp-sized batches), chosen for the same
+reason: per-tile chunk alignment would waste ~40% of every entry-indexed
+cost (measured round 2: the aligned FlatBins worklist held 1.97M slots for
+1.12M real intersections at bench scale, inflating the attribute gather,
+the gradient reduction, the placement scatter, and both kernel grids).
 
-Per block (P = 256 pixels x CHUNK entries, all in VMEM):
-  - alphas: pure VPU elementwise work on (P, CHUNK) tiles;
-  - transmittance: one exclusive cumulative product along the entry axis,
-    seeded by a per-pixel carry in scratch (persists across blocks);
-  - compositing: one (4, CHUNK) x (P, CHUNK) contraction on the MXU;
-  - early-out: blocks whose tile is already saturated (max T <= 1e-4) skip
-    all compute.
+The compute is oriented ENTRIES-ON-SUBLANES, PIXELS-ON-LANES. Mosaic's HBM
+tiling only serves dynamic-offset DMA slices whose minor dimension is a
+whole number of 128-lane tiles and whose offset lies on the MAJOR axis
+(measured on v5e: lane-axis dynamic offsets and 16-wide slices both fail
+to compile). The attribute table is therefore padded to 128 lanes — rows
+are (x, y, conic*3, opacity, rgb+d, 0...) — and a window is the proven
+``(CHUNK, 128)`` major-axis slice. The 8x lane padding costs ~2 ms/step of
+pure HBM traffic at bench scale; the per-index-bound gathers all stay on
+16-wide (int16-bitcast) rows.
 
-The backward kernel walks the same worklist in reverse, reconstructing the
-per-entry transmittance analytically from the saved final transmittance
-(T_before = T_end / suffix-product — the same back-to-front recurrence as the
-CUDA backward, but vectorized over the whole block; safe because every
-*composited* entry keeps T > 1e-4 and 1 - alpha >= 1e-3). A per-pixel count
-of composited entries saved by the forward pass reproduces the early-exit
-boundary exactly. Gradients w.r.t. per-entry attributes are emitted in the
-same flat layout; the XLA-level gather that built the layout scatter-adds
-them back to the per-splat arrays via ordinary autodiff.
+Per window (CHUNK entries x P = 256 pixels, all in VMEM):
+  - alphas: VPU elementwise work on (CHUNK, P) tiles; entry centers arrive
+    pre-shifted to tile-local coordinates (XLA-side subtract);
+  - transmittance: one exclusive cumulative product along the entry
+    (sublane) axis — a triangular-ones MXU matmul in log space — seeded by
+    a per-pixel carry that persists across the tile's windows;
+  - compositing: one (CHUNK, 4) x (CHUNK, P) MXU contraction;
+  - early-out: the window loop stops as soon as every pixel of the tile is
+    saturated (max T <= 1e-4) — saturated tails cost neither DMA nor
+    compute (beyond one wasted prefetch).
+
+Cross-window DMA pipelining is explicit: a two-slot buffer plus a predicted
+next-window prefetch (in-tile next, else the next tile's first window). The
+prediction is recorded as an ENTRY OFFSET, so runs of empty tiles — whose
+segment starts all alias the next real tile's start — hit the prefetched
+window for free. Mispredictions (early exit) drain and refetch: one bubble.
+
+The backward kernel walks each tile's LIVE window prefix in reverse
+(per-tile live counts are computed at the XLA level from the forward's
+saved last-contributor ranks and prefetched), reconstructing per-entry
+transmittance analytically from the saved final transmittance — the same
+back-to-front recurrence as the CUDA backward, vectorized over the window.
+Per-entry attribute gradients stream back to HBM through a second DMA
+pipeline with at most ONE store in flight: adjacent tiles' boundary windows
+overlap in HBM (unaligned ranges), and serializing the stores makes the
+later tile — whose lanes hold the real gradients; the earlier tile's
+overhang sublanes were masked to zero in compute — win deterministically.
+Entries past a tile's live prefix are never visited; an XLA-side mask
+zeroes their slots.
+
+Gradient reduction (entry gradients -> per-splat gradients) exploits the
+layout: entry ids are depth RANKS, so after ONE rank-keyed sort of the
+entry index space the per-splat reduction is a contiguous-segment sum.
+Three interchangeable strategies are provided (``grad_reduce=``):
+'scatter' (plain .at[ids].add — XLA's per-index emitter, the round-2
+bottleneck at ~26 ms/step), 'sorted' (rank-sorted permutation gather +
+sorted-indices scatter-add), and 'segment' (rank-sorted gather + two-level
+cumulative sum + boundary differences — no per-index scatter at all).
 """
 from __future__ import annotations
 
@@ -43,12 +78,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import bin_splats_flat, flat_num_blocks
+from .binning import bin_splats_dense
 from .rasterize_dense import ALPHA_EPS, ALPHA_MAX, T_EPS
 
 TILE = 16
 P = TILE * TILE  # pixels per tile
-ROWS = 16  # attribute rows: [x, y, con_a, con_b, con_c, opac, c0..c3, pad..]
+ROWS = 16  # attribute columns: [x, y, con_a, con_b, con_c, opac, c0..c3, 0..]
+GRAD_ROWS = 10  # leading attr columns that carry gradients
+TROWS = 128  # DMA-visible table width (ROWS padded to one lane tile)
 OUT_ROWS = 8  # output rows: [c0..c3, T_final, n_contrib, last_contrib, pad]
 
 
@@ -56,314 +93,562 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@jax.custom_vjp
-def _gather_attr_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
-    """ATTR-TABLE row gather ``table[ids]`` with a 16-bit forward trick.
-
-    Specific to the ROWS=16 attribute layout (only the first 10 rows carry
-    gradients — see _gather_attr_rows_bwd).
-
-    XLA:TPU's gather emitter costs per INDEX but scales with row byte-width
-    below 4 bytes: gathering the table as bitcast int16 pairs and bitcasting
-    back is ~2.3x faster than the f32 row gather (measured v5e, 2M indices)
-    and reconstructs the rows EXACTLY (pure bit movement). The backward is
-    the same scatter-add the plain gather's autodiff transpose produces.
-    """
-    return table[ids]
+# -----------------------------------------------------------------------------
+# int16-bitcast row gathers (XLA:TPU's gather emitter is per-index but scales
+# with row byte width below 4 bytes; bitcast pairs reconstruct f32 EXACTLY).
+# -----------------------------------------------------------------------------
 
 
-def _gather_attr_rows_fwd(table, ids):
+def _row_gather_i16(table: jax.Array, ids: jax.Array, **kw) -> jax.Array:
     n, r = table.shape
     t16 = jax.lax.bitcast_convert_type(table, jnp.int16).reshape(n, 2 * r)
-    g16 = t16[ids]
-    out = jax.lax.bitcast_convert_type(
+    g16 = jnp.take(t16, ids, axis=0, **kw)
+    return jax.lax.bitcast_convert_type(
         g16.reshape(ids.shape[0], r, 2), jnp.float32
     )
-    return out, (ids, n)
 
 
-def _gather_attr_rows_bwd(res, g):
+def _gather_fwd(table, ids):
+    return _row_gather_i16(table, ids), (ids, table.shape[0])
+
+
+def _scatter_bwd(res, g):
+    """Plain scatter-add transpose (round-2 baseline; per-index emitter)."""
     ids, n = res
-    # Only the first 10 attr rows carry gradients (xy, conic, opacity, 4
-    # colors); scatter-adding 40-byte rows instead of 64 shaves the
-    # per-index emitter cost, and the pad columns are zero by construction.
-    r = g.shape[1]
-    used = min(10, r)
+    used = min(GRAD_ROWS, g.shape[1])
     dtable = jnp.zeros((n, used), g.dtype).at[ids].add(g[:, :used])
-    if used < r:
-        dtable = jnp.pad(dtable, ((0, 0), (0, r - used)))
+    if used < g.shape[1]:
+        dtable = jnp.pad(dtable, ((0, 0), (0, g.shape[1] - used)))
     return dtable, np.zeros(ids.shape, jax.dtypes.float0)
 
 
-_gather_attr_rows.defvjp(_gather_attr_rows_fwd, _gather_attr_rows_bwd)
+def _rank_sort(ids, n):
+    """Sort the entry index space by id (pads == n sort last)."""
+    iota = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    return jax.lax.sort((ids, iota), num_keys=1, is_stable=True)
 
 
-def _tri_ones(n: int) -> jax.Array:
-    """(n, n) upper-triangular ones (incl. diagonal): X @ U = inclusive scan."""
+def _sorted_bwd(res, g):
+    """Rank-sorted scatter-add: one 2-op sort + an int16 permutation gather
+    turn the random-index scatter into a sorted-indices one (measured ~1.6x
+    faster per index on v5e), at identical numerics up to summation order."""
+    ids, n = res
+    used = min(GRAD_ROWS, g.shape[1])
+    sorted_ids, perm = _rank_sort(ids, n)
+    gs = _row_gather_i16(g[:, :used], perm)
+    dtable = jnp.zeros((n, used), g.dtype).at[sorted_ids].add(
+        gs, indices_are_sorted=True
+    )
+    if used < g.shape[1]:
+        dtable = jnp.pad(dtable, ((0, 0), (0, g.shape[1] - used)))
+    return dtable, np.zeros(ids.shape, jax.dtypes.float0)
+
+
+def _tri_le(n: int) -> jax.Array:
     i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     return (i <= j).astype(jnp.float32)
 
 
-def _cumsum_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive cumulative sum along axis=1 (lanes) — ONE MXU contraction
-    with the triangular ones matrix. The 7-step Hillis-Steele lane-shift
-    scan costs ~0.45 us per (256, 128) block on the VPU (lane shifts are
-    full-vreg permutes); the (P, C) x (C, C) matmul is ~4x cheaper and
-    accumulates in f32 (bf16_3x passes — f32-equivalent)."""
-    return jax.lax.dot_general(
-        x, _tri_ones(x.shape[1]), (((1,), (0,)), ((), ())),
+def _cumsum_rows(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative sum along axis 0 of (D, C), D % 128 == 0.
+
+    Two-level: within 128-row blocks one triangular MXU contraction; block
+    carries by a (D/128, C) cumsum. ~memory speed, vs XLA's generic scan.
+    """
+    d, c = x.shape
+    dp = (d + 127) // 128 * 128
+    if dp != d:
+        x = jnp.pad(x, ((0, dp - d), (0, 0)))
+    xb = x.reshape(dp // 128, 128, c)
+    inner = jax.lax.dot_general(
+        xb, _tri_le(128), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+    )  # (B, C, 128)
+    inner = jnp.swapaxes(inner, 1, 2)  # (B, 128, C)
+    bsums = jnp.sum(xb, axis=1)  # (B, C)
+    carry = jnp.cumsum(bsums, axis=0) - bsums  # exclusive block prefix
+    return (inner + carry[:, None, :]).reshape(dp, c)[:d]
+
+
+def _segment_bwd(res, g):
+    """Segment-sum reduction with NO per-index scatter over entries.
+
+    After the rank sort each splat's entry gradients are one contiguous
+    segment; the per-segment sums are boundary differences of a two-level
+    cumulative sum, fetched at the (at most N+1) segment-end positions and
+    written back with one N-row sorted scatter. All per-entry work is
+    sorts, row gathers and an MXU cumsum — nothing per-index at entry scale.
+    f32 prefix-sum cancellation bounds the relative error at ~|S_total|*eps
+    per segment, validated against the oracle gradients in the parity tests.
+    """
+    ids, n = res
+    used = min(GRAD_ROWS, g.shape[1])
+    d = ids.shape[0]
+    sorted_ids, perm = _rank_sort(ids, n)
+    gs = _row_gather_i16(g[:, :used], perm)  # (D, used) rank-major
+    s = _cumsum_rows(gs)
+    nxt = jnp.concatenate(
+        [sorted_ids[1:], jnp.full((1,), n + 1, sorted_ids.dtype)]
+    )
+    is_last = sorted_ids != nxt
+    # Compact the segment-end positions (all lasts first, ascending).
+    iota = jnp.arange(d, dtype=jnp.int32)
+    _, pos = jax.lax.sort(
+        ((~is_last).astype(jnp.int32), iota), num_keys=1, is_stable=True
+    )
+    m = min(n + 1, d)
+    posn = pos[:m]
+    seg_id = jnp.take(sorted_ids, posn, axis=0)
+    seg_ok = jnp.take(is_last, posn, axis=0)
+    s_end = _row_gather_i16(s, posn)  # (m, used)
+    s_prev = jnp.concatenate([jnp.zeros((1, used), s.dtype), s_end[:-1]])
+    sums = s_end - s_prev
+    ok = seg_ok & (seg_id < n)
+    tgt = jnp.where(ok, seg_id, n)  # invalid/pad segments -> sentinel row
+    dtable = jnp.zeros((n + 1, used), g.dtype).at[tgt].add(
+        jnp.where(ok[:, None], sums, 0.0), indices_are_sorted=True
+    )[:n]
+    if used < g.shape[1]:
+        dtable = jnp.pad(dtable, ((0, 0), (0, g.shape[1] - used)))
+    return dtable, np.zeros(ids.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _gather_scatter(table, ids):
+    return table[ids]
+
+
+@jax.custom_vjp
+def _gather_sorted(table, ids):
+    return table[ids]
+
+
+@jax.custom_vjp
+def _gather_segment(table, ids):
+    return table[ids]
+
+
+_gather_scatter.defvjp(_gather_fwd, _scatter_bwd)
+_gather_sorted.defvjp(_gather_fwd, _sorted_bwd)
+_gather_segment.defvjp(_gather_fwd, _segment_bwd)
+
+_GATHERS = {
+    "scatter": _gather_scatter,
+    "sorted": _gather_sorted,
+    "segment": _gather_segment,
+}
+
+
+# -----------------------------------------------------------------------------
+# In-kernel math helpers (entries on sublanes, pixels on lanes)
+# -----------------------------------------------------------------------------
+
+
+def _cumsum_entries(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative sum along axis=0 (entries) — ONE MXU contraction
+    with a lower-triangular ones matrix: out[e] = sum_{e' <= e} x[e']. The
+    (C, C) x (C, P) matmul accumulates in f32 (bf16_3x — f32-equivalent)
+    and beats sublane-shift scans by ~4x (measured round 2 for the lane
+    variant; same arithmetic)."""
+    c = x.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    tri = (j <= i).astype(jnp.float32)
+    return jax.lax.dot_general(
+        tri, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
-def _cumprod_lanes(x: jax.Array) -> jax.Array:
-    """Inclusive cumulative product along axis=1 via exp2(cumsum(log2 x)).
+def _cumprod_entries(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative product along axis=0 via exp2(cumsum(log2 x)).
 
     Valid for x > 0 (compositing uses om = 1 - alpha >= 1e-3 wherever
     alpha > 0, om == 1 at masked entries, so log2 in [-10, 0]); relative
     error ~1e-6 vs the exact product chain — far inside the kernel's parity
     tolerances. Underflow (sums below -126) flushes to 0 exactly like the
     direct product chain."""
-    return jnp.exp2(_cumsum_lanes(jnp.log2(x)))
+    return jnp.exp2(_cumsum_entries(jnp.log2(x)))
 
 
-def _shift_right_lanes(x: jax.Array, first: jax.Array) -> jax.Array:
-    """[first, x[:, 0], ..., x[:, -2]] — turns an inclusive scan into the
-    exclusive one without a (P, CHUNK) divide."""
+def _shift_down(x: jax.Array, first: jax.Array) -> jax.Array:
+    """[first; x[0]; ...; x[-2]] along entries — inclusive -> exclusive scan
+    without a (CHUNK, P) divide."""
     return jnp.concatenate(
-        [jnp.broadcast_to(first, (x.shape[0], 1)), x[:, :-1]], axis=1
+        [jnp.broadcast_to(first, (1, x.shape[1])), x[:-1]], axis=0
     )
 
 
 def _pixel_coords_local(dtype=jnp.float32):
-    """(P, 1) tile-LOCAL x and y pixel coordinates (0..TILE-1).
+    """(1, P) tile-LOCAL x and y pixel coordinates (0..TILE-1).
 
-    The kernels work in tile-local coordinates: the splat center is shifted
-    by the tile origin once per entry ((1, CHUNK) work) instead of adding the
-    origin to every pixel. Beyond saving VPU work, local coordinates keep
-    every quantity in the gradient moment expansion (see _bwd_block) at
+    The kernels work in tile-local coordinates: entry centers are shifted by
+    their tile origin ONCE, at the XLA level (per-entry subtract fused into
+    the attribute gather). Beyond saving VPU work, local coordinates keep
+    every quantity in the gradient moment expansion (see _bwd_window) at
     O(TILE) magnitude, so the px^2-weighted MXU moments suffer no
     catastrophic cancellation — with global pixel coordinates (up to ~4k)
     the M2 - 2 g M1 + g^2 M0 recombination would lose ~4 digits.
     """
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     lx = (pidx % TILE).astype(dtype)
     ly = (pidx // TILE).astype(dtype)
     return lx, ly
 
 
-def _tile_origin(tile_id, tiles_x: int, dtype=jnp.float32):
-    ox = ((tile_id % tiles_x) * TILE).astype(dtype)
-    oy = ((tile_id // tiles_x) * TILE).astype(dtype)
-    return ox, oy
+def _alphas(attrs, px, py, ent_ok):
+    """Recompute (CHUNK, P) masked alphas from an attribute window.
 
-
-def _alphas(attrs, px, py, ox, oy):
-    """Recompute (P, CHUNK) masked alphas from an attribute block.
-
-    px/py are tile-LOCAL pixel coords; ox/oy the tile origin (scalars).
-    Returns (alpha_masked, exp_neg_sigma, gx_loc, gy_loc, dx, dy, grad_ok).
+    attrs: (CHUNK, TROWS); columns 0/1 hold TILE-LOCAL splat centers
+    (pre-shifted). ent_ok (CHUNK, 1) masks window sublanes past the tile's
+    entry count — essential here, not cosmetic: an unpadded window's tail
+    sublanes hold the NEXT tile's real entries.
     """
-    gx = attrs[0:1, :] - ox  # (1, CHUNK) tile-local splat centers
-    gy = attrs[1:2, :] - oy
-    ca = attrs[2:3, :]
-    cb = attrs[3:4, :]
-    cc = attrs[4:5, :]
-    op = attrs[5:6, :]
-    dx = px - gx  # (P, CHUNK)
+    gx = attrs[:, 0:1]  # (CHUNK, 1) tile-local centers
+    gy = attrs[:, 1:2]
+    ca = attrs[:, 2:3]
+    cb = attrs[:, 3:4]
+    cc = attrs[:, 4:5]
+    op = attrs[:, 5:6]
+    dx = px - gx  # (CHUNK, P)
     dy = py - gy
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     e = jnp.exp(-sigma)
     raw = op * e
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    keep = (sigma >= 0.0) & (alpha >= ALPHA_EPS)
+    keep = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & ent_ok
     alpha_m = jnp.where(keep, alpha, 0.0)
     grad_ok = keep & (raw < ALPHA_MAX)  # min() clamps gradient at 0.999
-    return alpha_m, e, gx, gy, dx, dy, grad_ok
+    return alpha_m, gx, gy, grad_ok
 
 
-def _fwd_kernel(tiles_x: int, chunk: int,
-                block_tile, block_first, block_last, block_rank, used,
-                attrs_ref, out_ref, t_scr, n_scr):
-    w = pl.program_id(0)
-    tile = block_tile[w]
-    attrs = attrs_ref[0]  # (ROWS, CHUNK)
-    # Grid blocks past num_blocks_used are all-pad (their attrs DMA is
-    # redirected to block 0 by the index_map, so they cost nothing): skip.
-    in_used = w < used[0]
+# -----------------------------------------------------------------------------
+# Windowed DMA pipeline helpers (shared by fwd and bwd kernels)
+# -----------------------------------------------------------------------------
 
-    # Scratch columns: 0 = frozen T (value when the pixel stopped
-    # compositing — the CUDA kernel's output T), 1 = raw T (product over ALL
-    # masked alphas, monotone — the liveness test). They agree until a pixel
-    # crosses T_EPS; afterwards raw keeps falling (so the pixel can never
-    # resurrect in a later block) while frozen holds the output value.
-    @pl.when(in_used & (block_first[w] == 1))
+
+import os
+
+# Debug/bisect switches (perf-neutral when left at defaults).
+_PREFETCH = os.environ.get("TINYSPLAT_PALLAS_PREFETCH", "1") == "1"
+_EARLY_EXIT = os.environ.get("TINYSPLAT_PALLAS_EARLY_EXIT", "1") == "1"
+
+
+def _win_dma(src_ref, buf, sem, off, slot, chunk):
+    """Descriptor for HBM entry window [off, off+chunk) <-> VMEM buf slot."""
+    return pltpu.make_async_copy(
+        src_ref.at[pl.ds(off, chunk), :], buf.at[slot], sem.at[slot]
+    )
+
+
+def _acquire(src_ref, buf, sem, pstate, off, next_off, chunk):
+    """Make window ``off`` resident; prefetch ``next_off`` (<0 = none).
+
+    pstate (SMEM, 2): [pending offset or -1, pending slot]. Invariant: at
+    most ONE input DMA in flight at any time — a hit consumes it, a miss
+    drains it first (the one-bubble mispredict path). Returns the slot
+    holding the acquired window.
+    """
+    if not _PREFETCH:  # bisect mode: plain start+wait, no cross-step state
+        _win_dma(src_ref, buf, sem, off, 0, chunk).start()
+        _win_dma(src_ref, buf, sem, off, 0, chunk).wait()
+        return 0
+
+    pend = pstate[0]
+    pslot = pstate[1]
+    hit = pend == off
+
+    @pl.when(jnp.logical_not(hit) & (pend >= 0))
     def _():
-        t_scr[:, 0:2] = jnp.ones((P, 2), jnp.float32)
-        n_scr[:, 0:2] = jnp.zeros((P, 2), jnp.float32)
-        out_ref[0] = jnp.zeros((OUT_ROWS, P), jnp.float32)
+        _win_dma(src_ref, buf, sem, pend, pslot, chunk).wait()
 
-    t_raw_in = t_scr[:, 1:2]  # (P, 1)
+    slot = jnp.where(hit, pslot, 1 - pslot)
 
-    @pl.when(in_used & (jnp.max(t_raw_in) > T_EPS))
+    @pl.when(jnp.logical_not(hit))
     def _():
-        t_fro_in = t_scr[:, 0:1]
-        px, py = _pixel_coords_local()
-        ox, oy = _tile_origin(tile, tiles_x)
-        alpha, _, _, _, _, _, _ = _alphas(attrs, px, py, ox, oy)
+        _win_dma(src_ref, buf, sem, off, slot, chunk).start()
+
+    _win_dma(src_ref, buf, sem, off, slot, chunk).wait()
+
+    @pl.when(next_off >= 0)
+    def _():
+        _win_dma(src_ref, buf, sem, next_off, 1 - slot, chunk).start()
+
+    pstate[0] = jnp.where(next_off >= 0, next_off, -1)
+    pstate[1] = 1 - slot
+    return slot
+
+
+def _drain_pending(src_ref, buf, sem, pstate, chunk):
+    if not _PREFETCH:
+        return
+
+    @pl.when(pstate[0] >= 0)
+    def _():
+        _win_dma(src_ref, buf, sem, pstate[0], pstate[1], chunk).wait()
+        pstate[0] = -1
+
+
+# -----------------------------------------------------------------------------
+# Forward kernel: grid = (num_tiles,), inner window loop
+# -----------------------------------------------------------------------------
+
+
+def _fwd_kernel(chunk, num_tiles,
+                starts, counts,
+                attrs_ref, out_ref, buf, sem, carry, pstate):
+    t = pl.program_id(0)
+    start = starts[t]
+    cnt = counts[t]
+
+    @pl.when(t == 0)
+    def _():
+        pstate[0] = -1
+        pstate[1] = 0
+
+    out_ref[0] = jnp.zeros((OUT_ROWS, P), jnp.float32)
+    # Carry rows: 0 = frozen T (value when the pixel stopped compositing —
+    # the CUDA kernel's output T), 1 = raw T (product over ALL masked
+    # alphas, monotone — the liveness test; they agree until a pixel
+    # crosses T_EPS, then raw keeps falling so the pixel can never
+    # resurrect), 2 = n_contrib, 3 = last contributing entry rank + 1.
+    carry[0:2, :] = jnp.ones((2, P), jnp.float32)
+    carry[2:4, :] = jnp.zeros((2, P), jnp.float32)
+
+    nchunks = (cnt + chunk - 1) // chunk
+    px, py = _pixel_coords_local()
+
+    def body(state):
+        k, _ = state
+        off = start + k * chunk
+        nxt_t = jnp.minimum(t + 1, num_tiles - 1)
+        next_off = jnp.where(
+            k + 1 < nchunks,
+            off + chunk,
+            jnp.where(t + 1 < num_tiles, starts[nxt_t], -1),
+        )
+        slot = _acquire(attrs_ref, buf, sem, pstate, off, next_off, chunk)
+        attrs = buf[slot]  # (CHUNK, TROWS)
+
+        ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
+        alpha, _, _, _ = _alphas(attrs, px, py, ent < cnt)
         om = 1.0 - alpha  # >= 1e-3 wherever alpha > 0 (clamped at 0.999)
-        incl = t_raw_in * _cumprod_lanes(om)  # (P, CHUNK)
+        t_raw_in = carry[1:2, :]  # (1, P)
+        incl = t_raw_in * _cumprod_entries(om)  # (CHUNK, P)
         live = incl > T_EPS  # exact CUDA early-exit rule
-        excl = _shift_right_lanes(incl, t_raw_in)
+        excl = _shift_down(incl, t_raw_in)
         wmat = jnp.where(live, alpha * excl, 0.0)
-        colors = attrs[6:10, :]  # (4, CHUNK)
+        colors = attrs[:, 6:10]  # (CHUNK, 4)
         contrib = jax.lax.dot_general(
-            colors, wmat, (((1,), (1,)), ((), ())),
+            colors, wmat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (4, P)
         out_ref[0, 0:4, :] += contrib
+        t_fro_in = carry[0:1, :]
         t_fro = jnp.min(
             jnp.where(live, incl, jnp.broadcast_to(t_fro_in, incl.shape)),
-            axis=1,
+            axis=0,
             keepdims=True,
         )
-        t_scr[:, 0:1] = jnp.minimum(t_fro, t_fro_in)
-        t_scr[:, 1:2] = incl[:, -1:]
-        n_scr[:, 0:1] = n_scr[:, 0:1] + jnp.sum(
-            live.astype(jnp.float32), axis=1, keepdims=True
+        carry[0:1, :] = jnp.minimum(t_fro, t_fro_in)
+        t_raw_out = incl[chunk - 1 : chunk, :]
+        carry[1:2, :] = t_raw_out
+        carry[2:3, :] = carry[2:3, :] + jnp.sum(
+            live.astype(jnp.float32), axis=0, keepdims=True
         )
         # Per-pixel 1 + rank of the last entry that actually CONTRIBUTED
         # (alpha > 0 and still live) — the CUDA kernel's last_contributor.
-        # Blocks past every pixel's last contributor are gradient-dead and
-        # get dropped from the backward worklist entirely (composite_bwd).
-        rank1 = (
-            block_rank[w] * chunk
-            + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        ).astype(jnp.float32) + 1.0
-        contrib = live & (alpha > 0.0)
-        lc = jnp.max(jnp.where(contrib, rank1, 0.0), axis=1, keepdims=True)
-        n_scr[:, 1:2] = jnp.maximum(n_scr[:, 1:2], lc)
+        # The backward pass walks only ceil(max lc / chunk) windows per tile.
+        rank1 = ent.astype(jnp.float32) + 1.0  # (CHUNK, 1)
+        cmask = live & (alpha > 0.0)
+        lc = jnp.max(
+            jnp.where(cmask, jnp.broadcast_to(rank1, cmask.shape), 0.0),
+            axis=0,
+            keepdims=True,
+        )
+        carry[3:4, :] = jnp.maximum(carry[3:4, :], lc)
+        return k + 1, jnp.max(t_raw_out) > T_EPS
 
-    @pl.when(in_used & (block_last[w] == 1))
+    if _EARLY_EXIT:
+        def cond(state):
+            k, alive = state
+            return (k < nchunks) & alive
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+    else:  # bisect mode: fixed-trip fori, no data-dependent exit
+        jax.lax.fori_loop(
+            0, nchunks, lambda k, _: body((k, True))[1], True
+        )
+
+    out_ref[0, 4:5, :] = carry[0:1, :]
+    out_ref[0, 5:6, :] = carry[2:3, :]
+    out_ref[0, 6:7, :] = carry[3:4, :]
+
+    @pl.when(t == num_tiles - 1)
     def _():
-        out_ref[0, 4:5, :] = jnp.swapaxes(t_scr[:, 0:1], 0, 1)
-        out_ref[0, 5:6, :] = jnp.swapaxes(n_scr[:, 0:1], 0, 1)
-        out_ref[0, 6:7, :] = jnp.swapaxes(n_scr[:, 1:2], 0, 1)
+        _drain_pending(attrs_ref, buf, sem, pstate, chunk)
 
 
-def _bwd_kernel(tiles_x: int, chunk: int,
-                eff_block, eff_tile, eff_rank, first_visit, n_live,
-                attrs_ref, fg_ref, dattrs_ref, t_scr, s_scr):
-    """Backward over a COMPACTED live-block worklist.
+# -----------------------------------------------------------------------------
+# Backward kernel: grid = (num_tiles,), reverse window loop over live prefix
+# -----------------------------------------------------------------------------
 
-    The caller (composite_bwd) drops every block past all of its tile's
-    live prefixes (their entries have zero weight and zero gradient, and
-    the T/s carries pass through them unchanged since alpha == 0 there) and
-    hands the surviving block ids, back-to-front, via the prefetched
-    ``eff_block`` worklist. Saturated tails of dense tiles — the common case
-    after a few front blocks — cost NOTHING here: no grid step, no DMA.
-    ``first_visit`` marks each tile's first (deepest live) worklist entry,
-    where the T/s carries are (re)seeded from the forward outputs; this is
-    exact because the skipped deeper blocks leave T at t_final. Steps past
-    ``n_live`` have their DMAs pinned to the last live block (the output
-    buffer then never switches away, so nothing garbage is flushed).
 
-    fg packs the forward outputs (rows 0:OUT_ROWS) and the composite
-    cotangent (rows OUT_ROWS:) for this tile — ONE tile-indexed DMA per
-    grid step instead of two.
+def _bwd_kernel(chunk, num_tiles,
+                starts, counts, nlive,
+                attrs_ref, fg_ref, dattrs_ref,
+                ibuf, isem, obuf, osem, carry, pstate, ostate):
+    """fg packs the forward outputs (rows 0:OUT_ROWS) and the composite
+    cotangent (rows OUT_ROWS:) for this tile — one pipelined block per step.
+
+    ostate (SMEM, 3): [out-DMA pending flag, its slot, its offset]. At most
+    one output DMA is in flight; each store waits the previous one before
+    issuing — besides bounding buffers, this ORDERS the stores (see module
+    docstring on overlapping boundary windows).
     """
-    w = pl.program_id(0)
-    tile = eff_tile[w]
-    attrs = attrs_ref[0]  # (ROWS, CHUNK)
-    live = w < n_live[0]
+    t = pl.program_id(0)
+    start = starts[t]
+    cnt = counts[t]
+    nl = nlive[t]
 
-    @pl.when(live & (first_visit[w] == 1))
+    @pl.when(t == 0)
     def _():
-        t_final = jnp.swapaxes(fg_ref[0, 4:5, :], 0, 1)  # (P, 1)
-        g_tfinal = jnp.swapaxes(fg_ref[0, OUT_ROWS + 4 : OUT_ROWS + 5, :], 0, 1)
-        t_scr[:, 0:1] = t_final
-        s_scr[:, 0:1] = g_tfinal * t_final
+        pstate[0] = -1
+        pstate[1] = 0
+        ostate[0] = 0
+        ostate[1] = 0
+        ostate[2] = 0
 
-    @pl.when(live)
+    @pl.when(nl > 0)
     def _():
-        _bwd_block(tiles_x, chunk, tile, eff_rank[w],
-                   attrs, fg_ref, dattrs_ref, t_scr, s_scr)
+        t_final = fg_ref[0, 4:5, :]  # (1, P)
+        g_tfinal = fg_ref[0, OUT_ROWS + 4 : OUT_ROWS + 5, :]
+        carry[0:1, :] = t_final  # suffix transmittance carry
+        carry[1:2, :] = g_tfinal * t_final  # s carry
 
-
-def _bwd_block(tiles_x, chunk, tile, block_rank,
-               attrs, fg_ref, dattrs_ref, t_scr, s_scr):
     px, py = _pixel_coords_local()
-    ox, oy = _tile_origin(tile, tiles_x)
-    alpha, e_negsig, gx, gy, dx, dy, grad_ok = _alphas(attrs, px, py, ox, oy)
+
+    def body(i, _):
+        k = nl - 1 - i
+        off = start + k * chunk
+        nxt_t = jnp.minimum(t + 1, num_tiles - 1)
+        nxt_live = nlive[nxt_t]
+        next_off = jnp.where(
+            k > 0,
+            off - chunk,
+            jnp.where(
+                (t + 1 < num_tiles) & (nxt_live > 0),
+                starts[nxt_t] + (nxt_live - 1) * chunk,
+                -1,
+            ),
+        )
+        slot = _acquire(attrs_ref, ibuf, isem, pstate, off, next_off, chunk)
+        dattrs = _bwd_window(chunk, k, cnt, ibuf[slot], fg_ref, carry, px, py)
+        # Output pipeline: wait the previous store, then issue this one.
+        oslot = 1 - ostate[1]
+
+        @pl.when(ostate[0] == 1)
+        def _():
+            pltpu.make_async_copy(
+                obuf.at[ostate[1]],
+                dattrs_ref.at[pl.ds(ostate[2], chunk), :],
+                osem.at[ostate[1]],
+            ).wait()
+
+        obuf[oslot] = dattrs
+        pltpu.make_async_copy(
+            obuf.at[oslot],
+            dattrs_ref.at[pl.ds(off, chunk), :],
+            osem.at[oslot],
+        ).start()
+        ostate[0] = 1
+        ostate[1] = oslot
+        ostate[2] = off
+        return 0
+
+    jax.lax.fori_loop(0, nl, body, 0)
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        _drain_pending(attrs_ref, ibuf, isem, pstate, chunk)
+
+        @pl.when(ostate[0] == 1)
+        def _():
+            pltpu.make_async_copy(
+                obuf.at[ostate[1]],
+                dattrs_ref.at[pl.ds(ostate[2], chunk), :],
+                osem.at[ostate[1]],
+            ).wait()
+            ostate[0] = 0
+
+
+def _bwd_window(chunk, k, cnt, attrs, fg_ref, carry, px, py):
+    ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
+    alpha, gx, gy, grad_ok = _alphas(attrs, px, py, ent < cnt)
 
     # Live prefix from the saved per-pixel contribution count.
-    n_contrib = jnp.swapaxes(fg_ref[0, 5:6, :], 0, 1)  # (P, 1)
-    rank = (
-        block_rank * chunk
-        + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    ).astype(jnp.float32)
-    live = rank < n_contrib  # (P, CHUNK)
+    n_contrib = fg_ref[0, 5:6, :]  # (1, P)
+    live = ent.astype(jnp.float32) < n_contrib  # (CHUNK, P)
     alpha = jnp.where(live, alpha, 0.0)
     om = 1.0 - alpha
 
     # Reconstruct per-entry exclusive transmittance from the suffix carry.
-    t_end = t_scr[:, 0:1]
-    pm = _cumprod_lanes(om)
-    total = pm[:, chunk - 1 : chunk]
-    # total underflows to 0 for deep high-alpha blocks; every underflowed
+    t_end = carry[0:1, :]
+    pm = _cumprod_entries(om)
+    total = pm[chunk - 1 : chunk, :]
+    # total underflows to 0 for deep high-alpha windows; every underflowed
     # entry is past the live prefix (T < T_EPS long before f32 underflow),
-    # so clamping only affects masked lanes — but keeps t_before finite
+    # so clamping only affects masked sublanes — but keeps t_before finite
     # (inf * 0 would poison the dcol matmul with NaNs).
     t_start = t_end / jnp.maximum(total, 1e-30)
-    pm_excl = _shift_right_lanes(pm, jnp.ones((P, 1), jnp.float32))
-    t_before = t_start * pm_excl  # (P, CHUNK) exclusive prefix
+    pm_excl = _shift_down(pm, jnp.ones((1, P), jnp.float32))
+    t_before = t_start * pm_excl  # (CHUNK, P) exclusive prefix
     wmat = alpha * t_before
 
     g = fg_ref[0, OUT_ROWS : OUT_ROWS + 4, :]  # (4, P) composite cotangent
-    colors = attrs[6:10, :]
-    # Q[p, k] = sum_c g[c, p] * colors[c, k]
+    colors = attrs[:, 6:10]  # (CHUNK, 4)
+    # Q[e, p] = sum_c colors[e, c] * g[c, p]
     q = jax.lax.dot_general(
-        g, colors, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (P, CHUNK)
+        colors, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (CHUNK, P)
     qw = q * wmat
-    csum = _cumsum_lanes(qw)
-    total_qw = csum[:, chunk - 1 : chunk]
-    s_after = s_scr[:, 0:1] + (total_qw - csum)  # (P, CHUNK)
+    csum = _cumsum_entries(qw)
+    total_qw = csum[chunk - 1 : chunk, :]
+    s_after = carry[1:2, :] + (total_qw - csum)  # (CHUNK, P)
 
     dalpha = q * t_before - s_after / om
     dsigma = jnp.where(grad_ok & live, -alpha * dalpha, 0.0)
 
-    ca = attrs[2:3, :]
-    cb = attrs[3:4, :]
-    cc = attrs[4:5, :]
-    op = attrs[5:6, :]
+    ca = attrs[:, 2:3]
+    cb = attrs[:, 3:4]
+    cc = attrs[:, 4:5]
+    op = attrs[:, 5:6]
     # Per-splat gradients via the pixel-moment expansion: with
     # dx = px - gx,   sum_p dsigma * dx = M1x - gx * M0, etc., where
     # M* are contractions of dsigma against the FIXED local pixel basis
-    # [1, px, py, px^2, px*py, py^2]. One (6, P) x (P, CHUNK) MXU
+    # [1, px, py, px^2, px*py, py^2]. One (CHUNK, P) x (P, 6) MXU
     # contraction replaces five P-axis VPU tree-reductions (DEFAULT f32
     # precision on TPU is the 3-pass bf16 decomposition — f32-equivalent
     # accuracy); tile-local coords keep the recombination cancellation-free
     # (see _pixel_coords_local).
+    ones = jnp.ones((1, P), jnp.float32)
     basis = jnp.concatenate(
-        [jnp.ones((P, 1), jnp.float32), px, py, px * px, px * py, py * py],
-        axis=1,
-    )  # (P, 6)
+        [ones, px, py, px * px, px * py, py * py], axis=0
+    )  # (6, P)
     mom = jax.lax.dot_general(
-        basis, dsigma, (((0,), (0,)), ((), ())),
+        dsigma, basis, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (6, CHUNK)
-    m0 = mom[0:1, :]
-    m1x = mom[1:2, :]
-    m1y = mom[2:3, :]
-    m2xx = mom[3:4, :]
-    m2xy = mom[4:5, :]
-    m2yy = mom[5:6, :]
+    )  # (CHUNK, 6)
+    m0 = mom[:, 0:1]
+    m1x = mom[:, 1:2]
+    m1y = mom[:, 2:3]
+    m2xx = mom[:, 3:4]
+    m2xy = mom[:, 4:5]
+    m2yy = mom[:, 5:6]
     # Opacity gradient, analytically: wherever grad_ok holds, alpha =
     # op * e so d(alpha)/d(op) = e = alpha / op and therefore
     # sum_p dalpha * e = -sum_p dsigma / op = -M0 / op (op > 0 for every
-    # real entry; pad/sentinel entries have M0 == 0).
+    # real entry; masked sublanes have M0 == 0).
     dop = -m0 / jnp.maximum(op, 1e-30)
     e1x = m1x - gx * m0  # = sum_p dsigma * dx
     e1y = m1y - gy * m0
@@ -372,140 +657,119 @@ def _bwd_block(tiles_x, chunk, tile, block_rank,
     dca = 0.5 * (m2xx - 2.0 * gx * m1x + gx * gx * m0)
     dcb = m2xy - gx * m1y - gy * m1x + gx * gy * m0
     dcc = 0.5 * (m2yy - 2.0 * gy * m1y + gy * gy * m0)
-    # dL/dcolors[c, k] = sum_p g[c, p] * w[p, k]
+    # dL/dcolors[e, c] = sum_p g[c, p] * w[e, p]
     dcol = jax.lax.dot_general(
-        g, wmat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (4, CHUNK)
+        wmat, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (CHUNK, 4)
 
-    zeros6 = jnp.zeros((ROWS - 10, chunk), jnp.float32)
-    dattrs_ref[0] = jnp.concatenate(
-        [dgx, dgy, dca, dcb, dcc, dop, dcol, zeros6], axis=0
+    # Carries for the previous (front-ward) window.
+    carry[0:1, :] = t_start
+    carry[1:2, :] = carry[1:2, :] + total_qw
+
+    zeros_pad = jnp.zeros((chunk, TROWS - GRAD_ROWS), jnp.float32)
+    return jnp.concatenate(
+        [dgx, dgy, dca, dcb, dcc, dop, dcol, zeros_pad], axis=1
     )
 
-    # Carries for the previous (front-ward) block.
-    t_scr[:, 0:1] = t_start
-    s_scr[:, 0:1] = s_scr[:, 0:1] + total_qw
+
+# -----------------------------------------------------------------------------
+# custom-vjp'd kernel pair + orchestration
+# -----------------------------------------------------------------------------
 
 
-def _make_pallas_fns(num_tiles: int, tiles_x: int, num_blocks: int, chunk: int):
+def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int):
     """Build the custom-vjp'd kernel pair for static geometry params."""
-
-    # Unused tail blocks (w >= used) redirect their attrs DMA to block 0,
-    # which stays VMEM-resident across all of them — the tail costs neither
-    # bandwidth nor compute (the kernels skip their bodies).
-    def fwd_attr_idx(w, bt, bf, bl, br, us):
-        return (jnp.where(w < us[0], w, 0), 0, 0)
-
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, tiles_x, chunk),
+        functools.partial(_fwd_kernel, chunk, num_tiles),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(num_blocks,),
-            in_specs=[
-                pl.BlockSpec((1, ROWS, chunk), fwd_attr_idx),
-            ],
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, OUT_ROWS, P), lambda w, bt, bf, bl, br, us: (bt[w], 0, 0)
+                (1, OUT_ROWS, P), lambda t, s, c: (t, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((P, 128), jnp.float32),
-                pltpu.VMEM((P, 128), jnp.float32),
+                pltpu.VMEM((2, chunk, TROWS), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((8, P), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, P), jnp.float32),
         interpret=_interpret(),
     )
 
-    def bwd_attr_idx(w, eb, et, er, fv, nl):
-        return (eb[w], 0, 0)
-
-    def bwd_tile_idx(w, eb, et, er, fv, nl):
-        return (et[w], 0, 0)
-
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, tiles_x, chunk),
+        functools.partial(_bwd_kernel, chunk, num_tiles),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(num_blocks,),
+            num_scalar_prefetch=3,
+            grid=(num_tiles,),
             in_specs=[
-                pl.BlockSpec((1, ROWS, chunk), bwd_attr_idx),
-                pl.BlockSpec((1, 2 * OUT_ROWS, P), bwd_tile_idx),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (1, 2 * OUT_ROWS, P), lambda t, s, c, nl: (t, 0, 0)
+                ),
             ],
-            out_specs=pl.BlockSpec((1, ROWS, chunk), bwd_attr_idx),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((P, 128), jnp.float32),
-                pltpu.VMEM((P, 128), jnp.float32),
+                pltpu.VMEM((2, chunk, TROWS), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, chunk, TROWS), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((8, P), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SMEM((3,), jnp.int32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_blocks, ROWS, chunk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d2p, TROWS), jnp.float32),
         interpret=_interpret(),
     )
 
     @jax.custom_vjp
-    def composite_tiles(attrs, block_tile, block_first, block_last, block_rank, used):
-        return fwd_call(block_tile, block_first, block_last, block_rank, used, attrs)
+    def composite_tiles(attrs_pad, tile_starts, counts):
+        return fwd_call(tile_starts, counts, attrs_pad)
 
-    def composite_fwd(attrs, block_tile, block_first, block_last, block_rank, used):
-        out = fwd_call(block_tile, block_first, block_last, block_rank, used, attrs)
-        return out, (attrs, block_tile, block_last, block_rank, used, out)
+    def composite_fwd(attrs_pad, tile_starts, counts):
+        out = fwd_call(tile_starts, counts, attrs_pad)
+        return out, (attrs_pad, tile_starts, counts, out)
 
     def composite_bwd(res, gout):
-        attrs, block_tile, block_last, block_rank, used, fwd_out = res
+        attrs_pad, tile_starts, counts, fwd_out = res
         fg = jnp.concatenate([fwd_out, gout], axis=1)  # (T, 2*OUT_ROWS, P)
-
-        # Live-block compaction: a block is dead when every pixel of its
-        # tile stopped compositing before it (its entries carry zero weight
-        # and zero gradient, and T/s pass through unchanged). Dead blocks
-        # are a SUFFIX of each tile's depth-ordered block list, so removing
-        # them keeps surviving blocks of a tile adjacent in the back-to-
-        # front worklist. The kernel then pays nothing for saturated tails.
-        blocks = jnp.arange(num_blocks, dtype=jnp.int32)
-        # Row 6: per-pixel 1 + rank of the last CONTRIBUTING entry.
+        # Per-tile LIVE window counts from the forward's last-contributor
+        # ranks: windows past every pixel's last contributor carry zero
+        # gradient and are never visited (saturated tails cost nothing).
         lcmax = jnp.max(fwd_out[:, 6, :], axis=1)  # (T,)
-        dead = (
-            (block_rank * chunk).astype(jnp.float32) >= lcmax[block_tile]
-        ) | (blocks >= used[0])
-        ids_desc = num_blocks - 1 - blocks
-        # Stable sort of the descending id list by deadness: live blocks
-        # first, still in descending (back-to-front) order.
-        perm = jnp.argsort(dead[ids_desc].astype(jnp.int32), stable=True)
-        wl = ids_desc[perm]
-        n_live = (num_blocks - jnp.sum(dead)).astype(jnp.int32)
-        # Pin steps past n_live to the LAST live block: the output buffer
-        # never switches away from it, so no garbage block is ever flushed.
-        tgt = wl[jnp.maximum(n_live - 1, 0)]
-        in_live = blocks < n_live
-        eb = jnp.where(in_live, wl, tgt).astype(jnp.int32)
-        et = block_tile[eb]
-        er = block_rank[eb]
-        fv = jnp.where(
-            in_live,
-            jnp.concatenate(
-                [jnp.ones((1,), jnp.int32), (et[1:] != et[:-1]).astype(jnp.int32)]
-            ),
-            0,
+        nlive = jnp.minimum(
+            (lcmax.astype(jnp.int32) + chunk - 1) // chunk,
+            (counts + chunk - 1) // chunk,
+        ).astype(jnp.int32)
+        dattrs = bwd_call(tile_starts, counts, nlive, attrs_pad, fg)
+        # Zero the never-visited entry slots (the kernel writes only live
+        # windows; everything else is HBM garbage). Gather-free per-entry
+        # bound: scatter each tile's written end at its segment start, then
+        # a cummax fill. Overhang sublanes inside written windows hold zeros
+        # by construction (masked in compute), so "written" is exactly
+        # right — and where a later tile's real window overlapped an earlier
+        # tile's overhang, the serialized store order made the real values
+        # land last.
+        ends = tile_starts + nlive * chunk
+        mark = jnp.zeros((d2p,), jnp.int32).at[tile_starts].max(
+            ends, mode="drop"
         )
-        dattrs = bwd_call(eb, et, er, fv, n_live.reshape(1), attrs, fg)
-        # Dead blocks' dattrs slots were never written — zero them before
-        # the gather transpose scatter-adds them into real splat rows.
-        dattrs = jnp.where(dead[:, None, None], 0.0, dattrs)
-        zero_int = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-        return (
-            dattrs,
-            zero_int(block_tile),
-            zero_int(block_tile),
-            zero_int(block_last),
-            zero_int(block_rank),
-            zero_int(used),
-        )
+        fill_end = jax.lax.cummax(mark)
+        written = jnp.arange(d2p, dtype=jnp.int32) < fill_end
+        dattrs = jnp.where(written[:, None], dattrs, 0.0)
+        f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        return dattrs, f0(tile_starts), f0(counts)
 
     composite_tiles.defvjp(composite_fwd, composite_bwd)
     return composite_tiles
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_pallas_fns(num_tiles, tiles_x, num_blocks, chunk):
-    return _make_pallas_fns(num_tiles, tiles_x, num_blocks, chunk)
+def _cached_pallas_fns(num_tiles, d2p, chunk):
+    return _make_pallas_fns(num_tiles, d2p, chunk)
 
 
 def rasterize_pallas(
@@ -522,58 +786,53 @@ def rasterize_pallas(
     chunk: int = 128,
     dup_capacity: int = 0,
     max_per_tile: int = 0,
-    flat_blocks: int = 0,
     span_capacity: int = 0,
+    grad_reduce: str = "sorted",
     return_diagnostics: bool = False,
 ):
     """Rasterize to (H, W, C<=4) image + (H, W) alpha; dense-oracle semantics.
 
     Drop-in for :func:`rasterize_tiled` (16x16 tiles only). With
     return_diagnostics, also returns {'intersections', 'dropped'} device
-    scalars (budget auto-tuning; fetch asynchronously).
+    scalars (budget auto-tuning; fetch asynchronously). ``grad_reduce``
+    selects the entry-gradient -> splat-gradient reduction (module
+    docstring); all three are numerically validated against the oracle.
     """
     n = xys.shape[0]
     c = colors.shape[-1]
     assert c <= 4, "pallas kernel composites up to 4 channels (RGB+D)"
-    assert chunk & (chunk - 1) == 0, "chunk must be a power of two"
+    assert chunk % 8 == 0, "chunk must be a multiple of 8 sublanes"
     tiles_x = (img_width + TILE - 1) // TILE
     tiles_y = (img_height + TILE - 1) // TILE
     num_tiles = tiles_x * tiles_y
-    if dup_capacity <= 0:
-        dup_capacity = 8 * n
-    dup_capacity = (dup_capacity + chunk - 1) // chunk * chunk
-    num_blocks = flat_num_blocks(dup_capacity, num_tiles, chunk)
-    if flat_blocks > 0:
-        num_blocks = min(num_blocks, flat_blocks)
 
-    bins = bin_splats_flat(
+    bins = bin_splats_dense(
         xys, depths, radii, valid, tiles_x, tiles_y, TILE,
         chunk=chunk, dup_capacity=dup_capacity, max_per_tile=max_per_tile,
-        flat_blocks=flat_blocks, span_capacity=span_capacity,
-        conics=conics, opacities=opacities,
+        span_capacity=span_capacity, conics=conics, opacities=opacities,
     )
-    ids = bins.entry_splat  # (num_blocks * chunk,) DEPTH RANKS
+    ids = bins.entry_rank  # (d2p,) DEPTH RANKS, -1 pad
+    d2p = ids.shape[0]
 
     # One (N+1, ROWS) per-splat attribute matrix + a single row gather: XLA:TPU
     # vectorizes wide row gathers far better than several narrow ones, and
-    # the autodiff transpose becomes one row scatter-add. Entry ids are depth
-    # RANKS, so the table is permuted by bins.order first (an N-row permute,
-    # ~1000x cheaper than converting 8N entry ids). Pad entries (-1) redirect
-    # to a zero SENTINEL row (opacity 0 => alpha 0 => no contribution; its
-    # cotangents land in the sentinel row and are sliced off) — avoiding a
-    # (D, ROWS) select pass, whose pred materialization and backward layout
-    # copy cost ~100 ms/step at 2.9M entries on v5e.
+    # the transpose is the per-splat gradient reduction (grad_reduce). Entry
+    # ids are depth RANKS, so the table is permuted by bins.order first (an
+    # N-row permute, ~1000x cheaper than converting entry ids). Pad entries
+    # (-1) redirect to a zero SENTINEL row (opacity 0 => alpha 0 => no
+    # contribution; its cotangents are sliced off).
+    gather = _GATHERS[grad_reduce]
     ecol = colors
     if c < 4:
         ecol = jnp.pad(ecol, ((0, 0), (0, 4 - c)))
-    per_splat = _gather_attr_rows(
+    per_splat = gather(
         jnp.concatenate(
             [
                 xys,
                 conics,
                 opacities.reshape(-1, 1),
                 ecol,
-                jnp.zeros((n, ROWS - 10), xys.dtype),
+                jnp.zeros((n, ROWS - GRAD_ROWS), xys.dtype),
             ],
             axis=1,
         ).astype(jnp.float32),
@@ -581,31 +840,23 @@ def rasterize_pallas(
     )
     table = jnp.concatenate([per_splat, jnp.zeros((1, ROWS), jnp.float32)])
     safe = jnp.where(ids < 0, n, ids)
-    attr_cols = _gather_attr_rows(table, safe)
-    attrs = jnp.swapaxes(attr_cols.reshape(num_blocks, chunk, ROWS), 1, 2)
+    attr_rows = gather(table, safe)  # (d2p, ROWS)
 
-    # Per-block metadata for the worklist.
-    blocks = jnp.arange(num_blocks, dtype=jnp.int32)
-    block_tile = bins.block_tile
-    block_first = bins.block_first
-    # Last block of each tile: the block before the next tile's first block
-    # (or the last used block).
-    nxt = jnp.concatenate([block_first[1:], jnp.ones((1,), jnp.int32)])
-    is_used = blocks < bins.num_blocks_used
-    block_last = jnp.where(is_used & (nxt == 1), 1, 0).astype(jnp.int32)
-    # Guarantee exactly one "last" per tile even with trailing unused blocks:
-    # mark the block at num_blocks_used - 1 as last.
-    block_last = block_last.at[jnp.maximum(bins.num_blocks_used - 1, 0)].set(1)
-    # Rank of each block within its tile (for the bwd live-prefix test).
-    first_idx = jnp.where(block_first == 1, blocks, 0)
-    tile_first_block = jax.ops.segment_max(
-        first_idx, block_tile, num_segments=num_tiles
+    # Shift entry centers to tile-local coordinates (one fused subtract; the
+    # kernels then never touch tile ids), and pad the lane axis to a full
+    # 128-lane tile — the only row width Mosaic's HBM tiling can DMA-slice
+    # at dynamic major offsets (module docstring). The pad is pure HBM
+    # bandwidth (~1 ms/step at bench scale), NOT gather work.
+    ox = ((bins.entry_tile % tiles_x) * TILE).astype(jnp.float32)
+    oy = ((bins.entry_tile // tiles_x) * TILE).astype(jnp.float32)
+    shift = jnp.stack([ox, oy], axis=1)  # (d2p, 2)
+    attr_rows = jnp.concatenate(
+        [attr_rows[:, :2] - shift, attr_rows[:, 2:]], axis=1
     )
-    block_rank = blocks - tile_first_block[block_tile]
+    attrs_pad = jnp.pad(attr_rows, ((0, 0), (0, TROWS - ROWS)))
 
-    composite_tiles = _cached_pallas_fns(num_tiles, tiles_x, num_blocks, chunk)
-    used = bins.num_blocks_used.reshape(1).astype(jnp.int32)
-    out = composite_tiles(attrs, block_tile, block_first, block_last, block_rank, used)
+    composite_tiles = _cached_pallas_fns(num_tiles, d2p, chunk)
+    out = composite_tiles(attrs_pad, bins.tile_starts, bins.counts)
 
     t_final = out[:, 4, :]  # (T, P)
     bg4 = background

@@ -144,7 +144,18 @@ def _spectral_solve(vgrid: jax.Array, resolution: int, screen: float) -> jax.Arr
         chi = _spectral_solve_jit(vgrid, resolution, screen)
         jax.block_until_ready(chi)
         return chi
-    except Exception:  # no FFT support on this backend -> host numpy
+    except jax.errors.JaxRuntimeError as e:
+        # Only the backend's missing-complex-FFT failure falls back to host
+        # numpy (the axon TPU pool raises UNIMPLEMENTED); anything else is a
+        # real bug and must surface.
+        if "UNIMPLEMENTED" not in str(e) and "FFT" not in str(e):
+            raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "device FFT unavailable (%s); solving Poisson on host",
+            str(e).splitlines()[0][:120],
+        )
         freqs = np.fft.fftfreq(resolution).astype(np.float32) * (2.0 * np.pi)
         kx = freqs[:, None, None]
         ky = freqs[None, :, None]

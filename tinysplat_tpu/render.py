@@ -78,8 +78,9 @@ def render(
     tile_size: int = 16,
     dup_capacity: int = 0,
     max_per_tile: int = 0,
-    flat_blocks: int = 0,
     span_capacity: int = 0,
+    grad_reduce: str = "sorted",
+    chunk: int = 128,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Render an (H, W, 3) image (+ extras) from Gaussian parameters.
 
@@ -148,8 +149,8 @@ def render(
             xys, proj.depths, proj.radii, proj.conics, colors4, opacities, valid,
             img_height, img_width, bg4,
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
-            flat_blocks=flat_blocks, span_capacity=span_capacity,
-            return_diagnostics=True,
+            span_capacity=span_capacity, grad_reduce=grad_reduce,
+            chunk=chunk, return_diagnostics=True,
         )
     else:
         raise ValueError(f"Unknown rasterizer backend: {rasterizer}")

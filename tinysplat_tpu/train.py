@@ -126,8 +126,8 @@ def compute_losses(
         tile_size=cfg.tile_size,
         dup_capacity=cfg.dup_capacity,
         max_per_tile=cfg.max_per_tile,
-        flat_blocks=cfg.flat_blocks,
         span_capacity=cfg.span_capacity,
+        grad_reduce=cfg.grad_reduce,
     )
     loss_l1 = jnp.mean(jnp.abs(rgb - gt_image))
     loss_ssim = 1.0 - ssim(rgb, gt_image)

@@ -104,6 +104,7 @@ class Trainer:
         self._image_cache: Dict[tuple, jax.Array] = {}
         self._guard_snapshot = None
         self._rollbacks = 0
+        self._rollbacks_at_progress = 0
         # The reference overrides the densify interval to the camera count
         # at scripts/train.py:277.
         self.interval_densify = len(scene.cameras) or cfg.interval_densify
@@ -112,6 +113,11 @@ class Trainer:
         self.eval_cameras: List[Camera] = []
         self._last_diag = None  # (intersections, dup_dropped, tile_dropped)
         self._no_shrink_until = 0  # hysteresis after a budget grow
+        # Number of independent binning invocations the diagnostics sum over
+        # (1 here; MeshTrainer sets n_tile — each band bins with its own
+        # dup_capacity, so the per-invocation budget compares against the
+        # per-band share of the observed global intersection count).
+        self._budget_bands = 1
 
     # -- jit cache -------------------------------------------------------------
 
@@ -161,7 +167,8 @@ class Trainer:
                      dropped, old_cap, new_cap)
             self.state = grow_capacity(self.state, new_cap)
             self.opt_state = grow_opt_state(self.opt_state, old_cap, new_cap)
-            self._step_fns.clear()
+            self._on_capacity_growth()
+            self._invalidate_step_cache()
             new_state, new_opt, stats = densify_and_prune(
                 self.state, self.opt_state, sub, self.interval_densify, max_dim, cfg
             )
@@ -172,6 +179,9 @@ class Trainer:
             step, int(stats["cloned"]), int(stats["split"]),
             int(stats["pruned"]), int(stats["num_live"]),
         )
+
+    def _on_capacity_growth(self) -> None:
+        """Hook after grow_capacity/grow_opt_state (MeshTrainer reshards)."""
 
     def _maybe_refresh_density_probe(self) -> None:
         cfg, step = self.cfg, self.step
@@ -216,6 +226,16 @@ class Trainer:
         )
         self.state, self.opt_state = out.state, out.opt_state
         self.last_rendered = out.rendered
+        self._post_step(out)
+
+    def _post_step(self, out) -> None:
+        """Shared post-step host logic. Every hook here runs identically on
+        the single-device Trainer and the multi-chip MeshTrainer (which calls
+        this from its own train_step): metrics, densify cadence, budget
+        auto-tune, opacity reset, NaN-guard rollback, checkpointing. A pod
+        slice must never be a *worse* trainer than a single chip.
+        """
+        cfg = self.cfg
         self.metrics.update(self.step, out.metrics)
         if "n_intersections" in out.metrics:
             self._last_diag = (out.metrics["n_intersections"],
@@ -234,7 +254,10 @@ class Trainer:
         num_live = int(jax.device_get(out.metrics["num_live"]))
         self.metrics.log(self.step, extra=f"N: {num_live}")
         self._nan_guard(out.metrics["loss"])
+        self._maybe_checkpoint()
 
+    def _maybe_checkpoint(self) -> None:
+        cfg = self.cfg
         if cfg.save_checkpoints and self.step % cfg.checkpoint_interval == 0:
             from .io.checkpoint import save_checkpoint
 
@@ -265,6 +288,14 @@ class Trainer:
                     f"non-finite loss at step {self.step} with no snapshot"
                 )
             snap_state, snap_opt, snap_step, snap_key = self._guard_snapshot
+            # A persistent NaN source (corrupt GT frame, reliably-diverging
+            # config) would otherwise re-roll back forever; cap consecutive
+            # rollbacks that fail to make progress past the snapshot.
+            if self._rollbacks - self._rollbacks_at_progress >= 3:
+                raise FloatingPointError(
+                    f"non-finite loss at step {self.step}: 3 consecutive "
+                    f"rollbacks to step {snap_step} made no progress"
+                )
             log.warning(
                 "non-finite loss at step %d: rolling back to step %d",
                 self.step, snap_step,
@@ -277,6 +308,9 @@ class Trainer:
             self._rollbacks += 1
             return
         if self.step % interval == 0:
+            # Reaching a NEW snapshot point with finite loss = progress past
+            # the last rollback target; re-arm the consecutive-rollback cap.
+            self._rollbacks_at_progress = self._rollbacks
             self._guard_snapshot = (
                 jax.tree.map(jnp.copy, self.state),
                 jax.tree.map(jnp.copy, self.opt_state),
@@ -332,14 +366,19 @@ class Trainer:
             int(jax.device_get(x)) for x in self._last_diag
         )
         self._last_diag = None
+        bands = max(self._budget_bands, 1)
+        # Worst-band bound: a single band can hold every intersection, so
+        # growth uses the global count (safe); shrink uses the per-band mean
+        # (a band 4x above the mean still fits after the 2x headroom).
+        inter_band = -(-inter // bands)
         n = self.state.capacity
         current = self.cfg.dup_capacity or 8 * n
         changes = {}
         if dup_dropped > 0:
             changes["dup_capacity"] = max(2 * (inter + dup_dropped), current * 2)
-        elif (inter > 0 and inter < current // 4 and current > 2 * n
+        elif (inter > 0 and inter_band < current // 4 and current > 2 * n
               and self.step >= self._no_shrink_until):
-            changes["dup_capacity"] = max(2 * inter, 2 * n)
+            changes["dup_capacity"] = max(2 * inter_band, 2 * n)
         if tile_dropped > 0:
             # Deepest entries of crowded tiles were clipped: raise the
             # per-tile list budget (a separate knob from the total budget).
@@ -361,7 +400,11 @@ class Trainer:
             "retuning budgets %s (intersections %d, dup_dropped %d, tile_dropped %d)",
             changes, inter, dup_dropped, tile_dropped,
         )
-        self.cfg = _dc.replace(self.cfg, flat_blocks=0, **changes)
+        self.cfg = _dc.replace(self.cfg, **changes)
+        self._invalidate_step_cache()
+
+    def _invalidate_step_cache(self) -> None:
+        """Drop compiled steps after a config change (MeshTrainer extends)."""
         self._step_fns.clear()
 
     # -- held-out evaluation ---------------------------------------------------------
@@ -409,8 +452,9 @@ class Trainer:
                     params, alive, cam_params, h, w, active_deg, bg,
                     rasterizer=cfg.rasterizer, viewdirs_mode=cfg.viewdirs_mode,
                     tile_size=cfg.tile_size, dup_capacity=cfg.dup_capacity,
-                    max_per_tile=cfg.max_per_tile, flat_blocks=cfg.flat_blocks,
+                    max_per_tile=cfg.max_per_tile,
                     span_capacity=cfg.span_capacity,
+                    grad_reduce=cfg.grad_reduce,
                 )
 
             self._step_fns[key] = render_fn
