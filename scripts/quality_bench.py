@@ -1,14 +1,16 @@
 """Full-scale quality benchmark: train a real-sized scene, report held-out
-PSNR/SSIM + steps/s (VERDICT r1 item 3; run shape mirrors the reference's
+PSNR/SSIM + steps/s + time-to-27dB (run shape mirrors the reference's
 /root/reference/scripts/train.py:19-127 at BASELINE.json north-star scale).
 
 No real dataset exists in the sandbox, so ground truth comes from a
-structured synthetic splat scene ("multi-object": clustered anisotropic
-Gaussian blobs on a ground slab) rendered at 1600x1066 from 36 orbit
-cameras. The trainee starts from a noisy 8k-point cloud (the COLMAP-like
-initialization path) and must recover the scene through the full loss
-stack + densification + LR schedules — exercising exactly what a
-Tanks&Temples run exercises except the renderer-vs-photo gap.
+structured synthetic splat scene (clustered ellipsoid shells + ground slab
++ textured dome) rendered at 1600x1056 from 36 orbit cameras. The
+benchmark is adversarial to the renderer under test (round-2 verdict item
+3): GT frames are rendered with the INDEPENDENT XLA 'tiled' backend while
+training runs the default (Pallas) path, and the trainee initializes from
+a UNIFORM RANDOM point cloud in the scene bounding box — no peeking at GT
+splat means. A systematic Pallas kernel bias or projection-convention
+error can no longer cancel out end-to-end.
 
 Usage: python scripts/quality_bench.py [--iters 7000] [--out QUALITY_r.json]
 Prints one JSON line and writes it to --out.
@@ -96,7 +98,10 @@ def main():
     p.add_argument("--height", type=int, default=1056)  # 66 tile rows
     p.add_argument("--cameras", type=int, default=36)
     p.add_argument("--holdout", type=int, default=9)  # every 9th -> 4 eval cams
-    p.add_argument("--init-points", type=int, default=8000)
+    p.add_argument("--init-points", type=int, default=16000)
+    p.add_argument("--gt-rasterizer", default="tiled",
+                   help="independent backend for GT frames (trainee: auto)")
+    p.add_argument("--target-psnr", type=float, default=27.0)
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -140,7 +145,8 @@ def main():
         # truncated frames while eval renders the full model.
         rgb, extras = render(gt_state.params, gt_state.alive, cam_params, H, W,
                              active_sh_degree=jnp.int32(3),
-                             background=jnp.zeros(3), rasterizer="auto",
+                             background=jnp.zeros(3),
+                             rasterizer=args.gt_rasterizer,
                              dup_capacity=6_000_000, max_per_tile=8192,
                              span_capacity=2_000_000)
         d = extras["binning"]
@@ -164,23 +170,40 @@ def main():
     train_cams = [c for i, c in enumerate(cams) if i % args.holdout != 0]
     eval_cams = [c for i, c in enumerate(cams) if i % args.holdout == 0]
 
-    # --- trainee ----------------------------------------------------------
-    sel = rng.permutation(n_gt)[: args.init_points]
-    init_xyz = means[sel] + rng.normal(scale=0.02, size=(len(sel), 3))
-    init_rgb = np.clip(colors[sel] + rng.normal(scale=0.1, size=(len(sel), 3)), 0, 1)
+    # --- trainee: uniform random cloud in the scene AABB (adversarial —
+    # no GT-derived positions or colors; densification must discover the
+    # geometry from gradients alone, as from a bad SfM initialization) ----
+    lo, hi = means.min(axis=0), means.max(axis=0)
+    init_xyz = rng.uniform(lo, hi, size=(args.init_points, 3))
+    init_rgb = rng.uniform(0.2, 0.8, size=(args.init_points, 3))
     state = init_from_pcd(init_xyz.astype(np.float32), init_rgb * 255.0,
                           sh_degree=3, capacity=1 << 17)
 
     cfg = Config(rasterizer="auto", sh_degree=3, max_iter=args.iters,
-                 eval_interval=1000, densify_end=args.iters * 10 // 15)
+                 eval_interval=0, densify_end=args.iters * 10 // 15)
     trainer = Trainer(cfg, Scene(train_cams), state)
     trainer.eval_cameras = eval_cams
     # GT frames are already in HBM from the render pass — skip re-upload.
     for cam in train_cams:
         trainer._image_cache[(cam.name, W, H)] = gt_dev[cam.name]
 
+    # Eval every 500 steps by hand so time-to-target is measured on the
+    # same clock as training (the >=27 dB north star is a speed claim too).
     t0 = time.perf_counter()
-    trainer.run(args.iters)
+    eval_history = []
+    time_to_target = None
+    eval_every = 500
+    while trainer.step < args.iters:
+        trainer.run(min(trainer.step + eval_every, args.iters))
+        ev_i = trainer.evaluate()
+        wall = time.perf_counter() - t0
+        eval_history.append(
+            {"step": trainer.step, "minutes": round(wall / 60, 2),
+             "psnr": round(ev_i["eval_psnr"], 2)})
+        if time_to_target is None and ev_i["eval_psnr"] >= args.target_psnr:
+            time_to_target = wall
+            log.info("reached %.1f dB at step %d (%.1f min)",
+                     args.target_psnr, trainer.step, wall / 60)
     dt = time.perf_counter() - t0
 
     from tinysplat_tpu.io.checkpoint import save_checkpoint
@@ -205,6 +228,11 @@ def main():
         "value": round(ev["eval_psnr"], 2),
         "unit": "dB",
         "eval_ssim": round(ev["eval_ssim"], 4),
+        "gt_rasterizer": args.gt_rasterizer,
+        "init": "uniform_random_aabb",
+        "minutes_to_%gdB" % args.target_psnr: (
+            round(time_to_target / 60, 1) if time_to_target else None),
+        "eval_history": eval_history,
         "iters": args.iters,
         "steps_per_s": round(args.iters / dt, 2),
         "train_minutes": round(dt / 60, 1),

@@ -55,6 +55,19 @@ class Config:
     lambda_opacity: float = 0.2
     lambda_density: float = 0.2
 
+    # Diffusion-guided novel-view regularization — wired, unlike the
+    # reference's dead diffusion module (/root/reference/README.md:14).
+    # lambda is the synthetic/real view ratio (regularizers/
+    # diffusion_guidance.py); single-device Trainer only.
+    regularize_diffusion: bool = False
+    lambda_diffusion: float = 0.1
+    interval_diffusion: int = 500
+    regularize_diffusion_start: int = 2000
+    regularize_diffusion_end: int = 15_000
+    diffusion_model_dir: str = ""  # diffusers checkpoint dir ('' = tiny)
+    diffusion_inference_steps: int = 8
+    diffusion_strength: float = 0.6
+
     # Densification (train.py:205-214)
     warmup_densify: int = 600
     warmup_grad: int = 500

@@ -50,7 +50,7 @@ class Scene:
         """
         n = len(self.cameras)
         epoch, pos = divmod(step, n)
-        if epoch != self._perm_epoch:
+        if epoch != self._perm_epoch or len(self._perm) != n:
             self._perm = np.random.default_rng(self.seed + epoch).permutation(n)
             self._perm_epoch = epoch
         idx = int(self._perm[pos])

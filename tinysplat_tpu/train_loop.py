@@ -204,6 +204,36 @@ class Trainer:
                 self.state.params, self.state.alive, sub, num_samples=100_000
             )
 
+    def _maybe_refresh_diffusion_views(self) -> None:
+        """Diffusion-guided novel-view regularization (beyond the reference,
+        whose diffusion module is never imported by training): on cadence,
+        synthesize diffusion-refined novel views of the current model and
+        swap them into the scene as weighted synthetic training cameras.
+        See regularizers/diffusion_guidance.py for the design."""
+        cfg, step = self.cfg, self.step
+        if not cfg.regularize_diffusion:
+            return
+        if not (cfg.regularize_diffusion_start <= step < cfg.regularize_diffusion_end):
+            return
+        first = step == cfg.regularize_diffusion_start or (
+            getattr(self, "_diffusion_guidance", None) is None
+        )
+        if not first and step % cfg.interval_diffusion != 0:
+            return
+        from .regularizers.diffusion_guidance import DiffusionGuidance
+
+        if getattr(self, "_diffusion_guidance", None) is None:
+            self._diffusion_guidance = DiffusionGuidance(cfg, rng_seed=cfg.seed)
+            self._diffusion_real_cams = list(self.scene.cameras)
+        synth = self._diffusion_guidance.refresh(self, self._diffusion_real_cams)
+        # Swap the synthetic set in-place; drop stale cached frames.
+        for cam in self.scene.cameras:
+            if cam.name and cam.name.startswith("diffusion_"):
+                self._image_cache.pop((cam.name, cam.width, cam.height), None)
+        self.scene.cameras = self._diffusion_real_cams + synth
+        log.info("diffusion guidance: %d synthetic views refreshed at step %d",
+                 len(synth), step)
+
     # -- main loop ---------------------------------------------------------------
 
     def train_step(self) -> None:
@@ -211,6 +241,7 @@ class Trainer:
         cfg = self.cfg
         self.step += 1
         self._maybe_refresh_density_probe()
+        self._maybe_refresh_diffusion_views()
 
         camera = self.scene.get_random_camera(self.step)
         h, w = camera.height, camera.width
