@@ -17,13 +17,16 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-# XLA:CPU compiles are slow in this image (~0.3-1.5s per executable, mostly
-# IO-blocked); persist them across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
-
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU compiles are slow in this image (~0.3-1.5s per executable, mostly
+# IO-blocked); persist them across test runs. MUST go through the config API:
+# the sandbox's sitecustomize imports jax at interpreter startup, so the
+# JAX_COMPILATION_CACHE_DIR env var is read (empty) before this file runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -33,22 +33,27 @@ def test_unet2d_shapes():
 
 
 def test_unet_condition_shapes():
+    # jit init/apply: eager per-op dispatch on XLA:CPU costs ~10x the jitted
+    # executable here, and the jitted one persists in the compilation cache.
     net = UNet2DCondition(sample_size=8, in_channels=6, out_channels=4,
                           block_out_channels=(8, 16), cross_attention_dim=32)
     ctx = jnp.ones((2, 5, 32))
-    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 6, 8, 8)), jnp.ones((1,)), ctx)
-    out = net.apply(params, jnp.ones((2, 6, 8, 8)), jnp.ones((1,)), ctx)
+    params = jax.jit(net.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, 6, 8, 8)), jnp.ones((1,)), ctx)
+    out = jax.jit(net.apply)(params, jnp.ones((2, 6, 8, 8)), jnp.ones((1,)), ctx)
     assert out.shape == (2, 4, 8, 8)
 
 
 def test_vae_roundtrip_shapes():
-    vae = AutoencoderKL(latent_channels=4, block_out_channels=(8, 16, 32))
-    img = jnp.ones((1, 3, 32, 32))
-    params = vae.init(jax.random.PRNGKey(0), img, jax.random.PRNGKey(1))
-    z = vae.apply(params, img, jax.random.PRNGKey(1), method=AutoencoderKL.encode)
-    assert z.shape == (1, 4, 4, 4)
-    rec = vae.apply(params, z, method=AutoencoderKL.decode)
-    assert rec.shape == (1, 3, 32, 32)
+    vae = AutoencoderKL(latent_channels=4, block_out_channels=(8, 16))
+    img = jnp.ones((1, 3, 16, 16))
+    params = jax.jit(vae.init)(jax.random.PRNGKey(0), img, jax.random.PRNGKey(1))
+    enc = jax.jit(lambda p, x, k: vae.apply(p, x, k, method=AutoencoderKL.encode))
+    dec = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
+    z = enc(params, img, jax.random.PRNGKey(1))
+    assert z.shape == (1, 4, 4, 4)  # factor 2^len(blocks), as diffusers
+    rec = dec(params, z)
+    assert rec.shape == (1, 3, 16, 16)
     assert float(jnp.abs(rec).max()) <= 1.0
 
 

@@ -14,14 +14,19 @@ from tinysplat_tpu.render import render
 from tinysplat_tpu.scene import Scene
 
 
-def _toy_scene(n_cams=4, size=64):
+def _toy_scene(n_cams=4, size=64, rendered_gt=True):
     cams = orbit_cameras(n_cams, width=size, height=size)
-    means, log_scales, quats, colors, opac = random_gaussian_cloud(60, seed=7)
-    gt_state = init_from_pcd(means, colors * 255, sh_degree=1, capacity=64)
-    for cam in cams:
-        rgb, _ = render(gt_state.params, gt_state.alive, cam.params(), size, size,
-                        jnp.int32(1), jnp.zeros(3), rasterizer="tiled")
-        cam._image = np.asarray(rgb)
+    if rendered_gt:
+        means, log_scales, quats, colors, opac = random_gaussian_cloud(60, seed=7)
+        gt_state = init_from_pcd(means, colors * 255, sh_degree=1, capacity=64)
+        for cam in cams:
+            rgb, _ = render(gt_state.params, gt_state.alive, cam.params(), size,
+                            size, jnp.int32(1), jnp.zeros(3), rasterizer="tiled")
+            cam._image = np.asarray(rgb)
+    else:  # structure-only tests: skip the GT render compiles
+        rng = np.random.default_rng(7)
+        for cam in cams:
+            cam._image = rng.uniform(0, 1, (size, size, 3)).astype(np.float32)
     return Scene(cams)
 
 
@@ -149,7 +154,7 @@ def test_mesh_trainer_depth_without_maps_disables_term(caplog):
 
 
 def test_mesh_trainer_render_camera_uses_sharded_renderer():
-    scene = _toy_scene(n_cams=2, size=32)
+    scene = _toy_scene(n_cams=2, size=32, rendered_gt=False)
     cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
                  interval_opacity_reset=0, warmup_grad=0)
     pcd = synthetic_pcd(24, seed=2)

@@ -138,7 +138,12 @@ def test_sharded_density_matches_single_device():
     assert close.mean() > 0.99
 
 
-@pytest.mark.parametrize("rasterizer", ["tiled", "pallas"])
+@pytest.mark.parametrize("rasterizer", [
+    # Fast gate: the flagship pallas path; the tiled variant is covered at
+    # smaller scale by test_mesh_trainer_render_camera_uses_sharded_renderer.
+    pytest.param("tiled", marks=pytest.mark.slow),
+    "pallas",
+])
 def test_sharded_render_matches_unsharded(rasterizer):
     from tinysplat_tpu.render import render
 

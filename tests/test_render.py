@@ -21,19 +21,25 @@ def make_params(n=200, sh_bases=9, seed=0):
     )
 
 
+# One geometry for the three fast tests below: identical (n, H, W, sh) means
+# the second and third reuse the first's jitted render executable.
+FAST_N, FAST_HW = 100, (48, 64)
+
+
 def test_render_smoke_and_ranges():
-    params = make_params()
-    cam = orbit_cameras(1, width=64, height=48)[0]
+    h, w = FAST_HW
+    params = make_params(FAST_N)
+    cam = orbit_cameras(1, width=w, height=h)[0]
     rgb, extras = render(
-        params, jnp.ones(200, dtype=bool), cam.params(), cam.height, cam.width,
+        params, jnp.ones(FAST_N, dtype=bool), cam.params(), h, w,
         active_sh_degree=1, background=jnp.zeros(3),
     )
     rgb = np.asarray(rgb)
-    assert rgb.shape == (48, 64, 3)
+    assert rgb.shape == (h, w, 3)
     assert rgb.min() >= 0.0 and rgb.max() <= 1.0
     assert np.asarray(extras["alpha"]).max() > 0.1  # something rendered
     depth = np.asarray(extras["depth"])
-    assert depth.shape == (48, 64)
+    assert depth.shape == (h, w)
     # Where alpha is high, depth should be near the camera-orbit radius (3.0)
     mask = np.asarray(extras["alpha"]) > 0.9
     if mask.any():
@@ -41,10 +47,11 @@ def test_render_smoke_and_ranges():
 
 
 def test_dead_splats_invisible():
-    params = make_params(n=100)
-    cam = orbit_cameras(1, width=32, height=32)[0]
-    alive_half = jnp.arange(100) < 50
-    rgb_half, _ = render(params, alive_half, cam.params(), 32, 32, 1, jnp.zeros(3))
+    h, w = FAST_HW
+    params = make_params(FAST_N)
+    cam = orbit_cameras(1, width=w, height=h)[0]
+    alive_half = jnp.arange(FAST_N) < 50
+    rgb_half, _ = render(params, alive_half, cam.params(), h, w, 1, jnp.zeros(3))
 
     # Same render with the dead splats' parameters scrambled: must be identical
     scrambled = GaussianParams(
@@ -55,18 +62,19 @@ def test_dead_splats_invisible():
         quats=params.quats,
         opacities=params.opacities.at[50:].set(10.0),
     )
-    rgb_scrambled, _ = render(scrambled, alive_half, cam.params(), 32, 32, 1, jnp.zeros(3))
+    rgb_scrambled, _ = render(scrambled, alive_half, cam.params(), h, w, 1, jnp.zeros(3))
     np.testing.assert_allclose(np.asarray(rgb_half), np.asarray(rgb_scrambled), atol=1e-6)
 
 
 def test_render_jits_and_grads():
-    params = make_params(n=64)
-    cam = orbit_cameras(1, width=32, height=24)[0]
-    alive = jnp.ones(64, dtype=bool)
+    h, w = FAST_HW
+    params = make_params(FAST_N)
+    cam = orbit_cameras(1, width=w, height=h)[0]
+    alive = jnp.ones(FAST_N, dtype=bool)
 
     @jax.jit
     def loss_fn(p):
-        rgb, _ = render(p, alive, cam.params(), 24, 32, 1, jnp.zeros(3))
+        rgb, _ = render(p, alive, cam.params(), h, w, 1, jnp.zeros(3))
         return jnp.mean(rgb)
 
     g = jax.grad(loss_fn)(params)

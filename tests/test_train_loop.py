@@ -154,8 +154,9 @@ def test_nan_guard_rollback():
     the last in-memory snapshot with fresh RNG (reference has no failure
     detection at all — SURVEY §5)."""
     scene = _toy_scene()
-    cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
-                 interval_opacity_reset=0, nan_guard_interval=2, max_iter=10)
+    # Same cfg family/shapes as test_trainer_runs_and_loss_decreases: the
+    # jitted train step is shared, not recompiled (guard logic is host-side).
+    cfg = _cfg(nan_guard_interval=2)
     pcd = synthetic_pcd(60, seed=4)
     state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=128)
 
