@@ -206,8 +206,13 @@ def _sorted_intersections(
     ranks = jnp.arange(n, dtype=jnp.int32)
     mark1 = jnp.zeros((d1,), jnp.int32).at[starts1].max(ranks, mode="drop")
     span_rank = jax.lax.cummax(mark1)  # depth rank per span (monotone fill)
-    mark1p = jnp.zeros((d1,), jnp.int32).at[starts1].max(starts1, mode="drop")
-    row_idx = jnp.arange(d1, dtype=jnp.int32) - jax.lax.cummax(mark1p)
+    # Each span's row-within-rect is its distance to the owning splat's first
+    # span. That start position rides the EXISTING span gather as one more
+    # packed column (gather cost is width-independent on XLA:TPU) instead of
+    # a second d1-sized scatter + cummax fill (scatter cost is per-index).
+    packed = jnp.concatenate(
+        [packed, starts1.astype(jnp.float32)[:, None]], axis=1
+    )
     # (D1, k) row gather at SPAN granularity only; span_rank is monotone
     # (cummax fill), so tell XLA the indices are sorted. The gather runs on
     # an int16 bitcast view: XLA:TPU's gather emitter is ~2.3x faster on
@@ -218,6 +223,8 @@ def _sorted_intersections(
     sp_i16 = jnp.take(packed_i16, span_rank, axis=0, indices_are_sorted=True)
     sp = jax.lax.bitcast_convert_type(sp_i16.reshape(d1, k, 2), jnp.float32)
     sp_bx0 = sp[:, 2]
+    # f32 exact: span starts < d1 < 2^24.
+    row_idx = jnp.arange(d1, dtype=jnp.int32) - sp[:, k - 1].astype(jnp.int32)
     tile_row = sp[:, 3] + row_idx.astype(jnp.float32)
     if clip:
         s_cx, s_cy = sp[:, 4], sp[:, 5]
@@ -319,10 +326,14 @@ def _sorted_intersections(
         (tile_of, depth_rank), num_keys=1, is_stable=True
     )
 
-    # Per-tile ranges in the sorted list.
+    # Per-tile ranges in the sorted list. One searchsorted is enough:
+    # right-edge of tile t == left-edge of tile t+1, and the last tile ends
+    # where the pad entries (tile id == num_tiles) begin — the kept-entry
+    # count.
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_starts = jnp.searchsorted(sorted_tile, tile_ids, side="left")
-    tile_ends = jnp.searchsorted(sorted_tile, tile_ids, side="right")
+    kept = jnp.minimum(total2, d2).astype(tile_starts.dtype)
+    tile_ends = jnp.concatenate([tile_starts[1:], kept[None]])
     full_counts = (tile_ends - tile_starts).astype(jnp.int32)
 
     # Rank of each entry within its tile, gather-free: sorted_tile is sorted,
