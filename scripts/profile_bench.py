@@ -24,6 +24,7 @@ def main():
     p.add_argument("--chunk", type=int, default=128)
     p.add_argument("--grad-reduce", default="sorted",
                    choices=["scatter", "sorted", "segment"])
+    p.add_argument("--tpb", type=int, default=8)
     p.add_argument("--logdir", default="/tmp/jtrace")
     args = p.parse_args()
 
@@ -43,6 +44,7 @@ def main():
             rasterizer=backend, dup_capacity=args.dup_capacity,
             span_capacity=args.span_capacity, max_per_tile=2048,
             grad_reduce=args.grad_reduce, chunk=args.chunk,
+            tiles_per_block=args.tpb,
         )
         return jnp.sum(rgb) + jnp.sum(extras["depth"])
 

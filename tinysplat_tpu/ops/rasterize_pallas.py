@@ -10,9 +10,10 @@ Work decomposition (round-3 design: dense worklist, per-tile DMA loops)
 -----------------------------------------------------------------------
 ``bin_splats_dense`` lays every tile's depth-sorted intersections out
 CONTIGUOUSLY in one unpadded array — the (tile, depth) sort output IS the
-layout. The kernel grid is *(num_tiles,)*; each grid step walks its tile's
-``[start, start+count)`` entry range in CHUNK-entry windows with its own
-double-buffered DMA loop at *arbitrary, unaligned* offsets. This is the
+layout. The kernel grid is *(num_tiles / tiles_per_block,)*; each grid step
+walks its tiles' ``[start, start+count)`` entry ranges in CHUNK-entry
+windows with its own double-buffered DMA loop at *arbitrary, unaligned*
+offsets. This is the
 same decomposition as gsplat's CUDA kernel (one thread-block per tile
 iterating its sorted range in warp-sized batches), chosen for the same
 reason: per-tile chunk alignment would waste ~40% of every entry-indexed
@@ -390,128 +391,141 @@ def _drain_pending(src_ref, buf, sem, pstate, chunk):
 
 
 # -----------------------------------------------------------------------------
-# Forward kernel: grid = (num_tiles,), inner window loop
+# Forward kernel: grid = (num_tiles / TPB,), inner tile + window loops
 # -----------------------------------------------------------------------------
+#
+# TPB (tiles_per_block) tiles share one grid step: the per-grid-step floor
+# (block bookkeeping + output-block DMA launch, ~0.4 us measured round 1)
+# is paid once per TPB tiles instead of once per tile — at bench scale
+# (6.7k tiles) that floor is ~2.7 ms/kernel, most of the forward's gap to
+# its VPU roofline. All per-tile outputs accumulate in carry scratch rows
+# and are stored once per tile to the (TPB, OUT_ROWS, P) output block.
 
 
-def _fwd_kernel(chunk, num_tiles,
+def _fwd_kernel(chunk, num_tiles, tpb, nt_pad,
                 starts, counts,
                 attrs_ref, out_ref, buf, sem, carry, pstate):
-    t = pl.program_id(0)
-    start = starts[t]
-    cnt = counts[t]
+    b = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(b == 0)
     def _():
         pstate[0] = -1
         pstate[1] = 0
 
-    out_ref[0] = jnp.zeros((OUT_ROWS, P), jnp.float32)
-    # Carry rows: 0 = frozen T (value when the pixel stopped compositing —
-    # the CUDA kernel's output T), 1 = raw T (product over ALL masked
-    # alphas, monotone — the liveness test; they agree until a pixel
-    # crosses T_EPS, then raw keeps falling so the pixel can never
-    # resurrect), 2 = n_contrib, 3 = last contributing entry rank + 1.
-    carry[0:2, :] = jnp.ones((2, P), jnp.float32)
-    carry[2:4, :] = jnp.zeros((2, P), jnp.float32)
-
-    nchunks = (cnt + chunk - 1) // chunk
     px, py = _pixel_coords_local()
 
-    def body(state):
-        k, _ = state
-        off = start + k * chunk
-        nxt_t = jnp.minimum(t + 1, num_tiles - 1)
-        next_off = jnp.where(
-            k + 1 < nchunks,
-            off + chunk,
-            jnp.where(t + 1 < num_tiles, starts[nxt_t], -1),
-        )
-        slot = _acquire(attrs_ref, buf, sem, pstate, off, next_off, chunk)
-        attrs = buf[slot]  # (CHUNK, TROWS)
+    def tile_body(tt, _):
+        t = b * tpb + tt
+        start = starts[t]
+        cnt = counts[t]
+        # Carry rows: 0 = frozen T (value when the pixel stopped compositing
+        # — the CUDA kernel's output T), 1 = raw T (product over ALL masked
+        # alphas, monotone — the liveness test; they agree until a pixel
+        # crosses T_EPS, then raw keeps falling so the pixel can never
+        # resurrect), 2 = n_contrib, 3 = last contributing entry rank + 1,
+        # 4:8 = composited RGB+D accumulator.
+        carry[0:2, :] = jnp.ones((2, P), jnp.float32)
+        carry[2:8, :] = jnp.zeros((6, P), jnp.float32)
 
-        ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
-        alpha, _, _, _ = _alphas(attrs, px, py, ent < cnt)
-        om = 1.0 - alpha  # >= 1e-3 wherever alpha > 0 (clamped at 0.999)
-        t_raw_in = carry[1:2, :]  # (1, P)
-        incl = t_raw_in * _cumprod_entries(om)  # (CHUNK, P)
-        live = incl > T_EPS  # exact CUDA early-exit rule
-        excl = _shift_down(incl, t_raw_in)
-        wmat = jnp.where(live, alpha * excl, 0.0)
-        colors = attrs[:, 6:10]  # (CHUNK, 4)
-        contrib = jax.lax.dot_general(
-            colors, wmat, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (4, P)
-        out_ref[0, 0:4, :] += contrib
-        t_fro_in = carry[0:1, :]
-        t_fro = jnp.min(
-            jnp.where(live, incl, jnp.broadcast_to(t_fro_in, incl.shape)),
-            axis=0,
-            keepdims=True,
-        )
-        carry[0:1, :] = jnp.minimum(t_fro, t_fro_in)
-        t_raw_out = incl[chunk - 1 : chunk, :]
-        carry[1:2, :] = t_raw_out
-        carry[2:3, :] = carry[2:3, :] + jnp.sum(
-            live.astype(jnp.float32), axis=0, keepdims=True
-        )
-        # Per-pixel 1 + rank of the last entry that actually CONTRIBUTED
-        # (alpha > 0 and still live) — the CUDA kernel's last_contributor.
-        # The backward pass walks only ceil(max lc / chunk) windows per tile.
-        rank1 = ent.astype(jnp.float32) + 1.0  # (CHUNK, 1)
-        cmask = live & (alpha > 0.0)
-        lc = jnp.max(
-            jnp.where(cmask, jnp.broadcast_to(rank1, cmask.shape), 0.0),
-            axis=0,
-            keepdims=True,
-        )
-        carry[3:4, :] = jnp.maximum(carry[3:4, :], lc)
-        return k + 1, jnp.max(t_raw_out) > T_EPS
+        nchunks = (cnt + chunk - 1) // chunk
 
-    if _EARLY_EXIT:
-        def cond(state):
-            k, alive = state
-            return (k < nchunks) & alive
+        def body(state):
+            k, _ = state
+            off = start + k * chunk
+            nxt_t = jnp.minimum(t + 1, nt_pad - 1)
+            next_off = jnp.where(
+                k + 1 < nchunks,
+                off + chunk,
+                jnp.where(t + 1 < num_tiles, starts[nxt_t], -1),
+            )
+            slot = _acquire(attrs_ref, buf, sem, pstate, off, next_off, chunk)
+            attrs = buf[slot]  # (CHUNK, TROWS)
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), True))
-    else:  # bisect mode: fixed-trip fori, no data-dependent exit
-        jax.lax.fori_loop(
-            0, nchunks, lambda k, _: body((k, True))[1], True
+            ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
+            alpha, _, _, _ = _alphas(attrs, px, py, ent < cnt)
+            om = 1.0 - alpha  # >= 1e-3 wherever alpha > 0 (clamped at 0.999)
+            t_raw_in = carry[1:2, :]  # (1, P)
+            incl = t_raw_in * _cumprod_entries(om)  # (CHUNK, P)
+            live = incl > T_EPS  # exact CUDA early-exit rule
+            excl = _shift_down(incl, t_raw_in)
+            wmat = jnp.where(live, alpha * excl, 0.0)
+            colors = attrs[:, 6:10]  # (CHUNK, 4)
+            contrib = jax.lax.dot_general(
+                colors, wmat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (4, P)
+            carry[4:8, :] += contrib
+            t_fro_in = carry[0:1, :]
+            t_fro = jnp.min(
+                jnp.where(live, incl, jnp.broadcast_to(t_fro_in, incl.shape)),
+                axis=0,
+                keepdims=True,
+            )
+            carry[0:1, :] = jnp.minimum(t_fro, t_fro_in)
+            t_raw_out = incl[chunk - 1 : chunk, :]
+            carry[1:2, :] = t_raw_out
+            carry[2:3, :] = carry[2:3, :] + jnp.sum(
+                live.astype(jnp.float32), axis=0, keepdims=True
+            )
+            # Per-pixel 1 + rank of the last entry that actually CONTRIBUTED
+            # (alpha > 0 and still live) — the CUDA kernel's
+            # last_contributor. The backward pass walks only
+            # ceil(max lc / chunk) windows per tile.
+            rank1 = ent.astype(jnp.float32) + 1.0  # (CHUNK, 1)
+            cmask = live & (alpha > 0.0)
+            lc = jnp.max(
+                jnp.where(cmask, jnp.broadcast_to(rank1, cmask.shape), 0.0),
+                axis=0,
+                keepdims=True,
+            )
+            carry[3:4, :] = jnp.maximum(carry[3:4, :], lc)
+            return k + 1, jnp.max(t_raw_out) > T_EPS
+
+        if _EARLY_EXIT:
+            def cond(state):
+                k, alive = state
+                return (k < nchunks) & alive
+
+            jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+        else:  # bisect mode: fixed-trip fori, no data-dependent exit
+            jax.lax.fori_loop(
+                0, nchunks, lambda k, _: body((k, True))[1], True
+            )
+
+        out_ref[tt] = jnp.concatenate(
+            [carry[4:8, :], carry[0:1, :], carry[2:4, :],
+             jnp.zeros((OUT_ROWS - 7, P), jnp.float32)], axis=0
         )
+        return 0
 
-    out_ref[0, 4:5, :] = carry[0:1, :]
-    out_ref[0, 5:6, :] = carry[2:3, :]
-    out_ref[0, 6:7, :] = carry[3:4, :]
+    jax.lax.fori_loop(0, tpb, tile_body, 0)
 
-    @pl.when(t == num_tiles - 1)
+    @pl.when(b == pl.num_programs(0) - 1)
     def _():
         _drain_pending(attrs_ref, buf, sem, pstate, chunk)
 
 
 # -----------------------------------------------------------------------------
-# Backward kernel: grid = (num_tiles,), reverse window loop over live prefix
+# Backward kernel: grid = (num_tiles / TPB,), reverse window loop, live prefix
 # -----------------------------------------------------------------------------
 
 
-def _bwd_kernel(chunk, num_tiles,
+def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
                 starts, counts, nlive,
                 attrs_ref, fg_ref, dattrs_ref,
                 ibuf, isem, obuf, osem, carry, pstate, ostate):
     """fg packs the forward outputs (rows 0:OUT_ROWS) and the composite
-    cotangent (rows OUT_ROWS:) for this tile — one pipelined block per step.
+    cotangent (rows OUT_ROWS:) per tile — one (TPB, 2*OUT_ROWS, P)
+    pipelined block per grid step.
 
     ostate (SMEM, 3): [out-DMA pending flag, its slot, its offset]. At most
     one output DMA is in flight; each store waits the previous one before
     issuing — besides bounding buffers, this ORDERS the stores (see module
     docstring on overlapping boundary windows).
     """
-    t = pl.program_id(0)
-    start = starts[t]
-    cnt = counts[t]
-    nl = nlive[t]
+    b = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(b == 0)
     def _():
         pstate[0] = -1
         pstate[1] = 0
@@ -519,56 +533,66 @@ def _bwd_kernel(chunk, num_tiles,
         ostate[1] = 0
         ostate[2] = 0
 
-    @pl.when(nl > 0)
-    def _():
-        t_final = fg_ref[0, 4:5, :]  # (1, P)
-        g_tfinal = fg_ref[0, OUT_ROWS + 4 : OUT_ROWS + 5, :]
-        carry[0:1, :] = t_final  # suffix transmittance carry
-        carry[1:2, :] = g_tfinal * t_final  # s carry
-
     px, py = _pixel_coords_local()
 
-    def body(i, _):
-        k = nl - 1 - i
-        off = start + k * chunk
-        nxt_t = jnp.minimum(t + 1, num_tiles - 1)
-        nxt_live = nlive[nxt_t]
-        next_off = jnp.where(
-            k > 0,
-            off - chunk,
-            jnp.where(
-                (t + 1 < num_tiles) & (nxt_live > 0),
-                starts[nxt_t] + (nxt_live - 1) * chunk,
-                -1,
-            ),
-        )
-        slot = _acquire(attrs_ref, ibuf, isem, pstate, off, next_off, chunk)
-        dattrs = _bwd_window(chunk, k, cnt, ibuf[slot], fg_ref, carry, px, py)
-        # Output pipeline: wait the previous store, then issue this one.
-        oslot = 1 - ostate[1]
+    def tile_body(tt, _):
+        t = b * tpb + tt
+        start = starts[t]
+        cnt = counts[t]
+        nl = nlive[t]
 
-        @pl.when(ostate[0] == 1)
+        @pl.when(nl > 0)
         def _():
-            pltpu.make_async_copy(
-                obuf.at[ostate[1]],
-                dattrs_ref.at[pl.ds(ostate[2], chunk), :],
-                osem.at[ostate[1]],
-            ).wait()
+            t_final = fg_ref[tt, 4:5, :]  # (1, P)
+            g_tfinal = fg_ref[tt, OUT_ROWS + 4 : OUT_ROWS + 5, :]
+            carry[0:1, :] = t_final  # suffix transmittance carry
+            carry[1:2, :] = g_tfinal * t_final  # s carry
 
-        obuf[oslot] = dattrs
-        pltpu.make_async_copy(
-            obuf.at[oslot],
-            dattrs_ref.at[pl.ds(off, chunk), :],
-            osem.at[oslot],
-        ).start()
-        ostate[0] = 1
-        ostate[1] = oslot
-        ostate[2] = off
+        def body(i, _):
+            k = nl - 1 - i
+            off = start + k * chunk
+            nxt_t = jnp.minimum(t + 1, nt_pad - 1)
+            nxt_live = nlive[nxt_t]
+            next_off = jnp.where(
+                k > 0,
+                off - chunk,
+                jnp.where(
+                    (t + 1 < num_tiles) & (nxt_live > 0),
+                    starts[nxt_t] + (nxt_live - 1) * chunk,
+                    -1,
+                ),
+            )
+            slot = _acquire(attrs_ref, ibuf, isem, pstate, off, next_off, chunk)
+            dattrs = _bwd_window(chunk, k, cnt, ibuf[slot], fg_ref, tt, carry,
+                                 px, py)
+            # Output pipeline: wait the previous store, then issue this one.
+            oslot = 1 - ostate[1]
+
+            @pl.when(ostate[0] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[ostate[1]],
+                    dattrs_ref.at[pl.ds(ostate[2], chunk), :],
+                    osem.at[ostate[1]],
+                ).wait()
+
+            obuf[oslot] = dattrs
+            pltpu.make_async_copy(
+                obuf.at[oslot],
+                dattrs_ref.at[pl.ds(off, chunk), :],
+                osem.at[oslot],
+            ).start()
+            ostate[0] = 1
+            ostate[1] = oslot
+            ostate[2] = off
+            return 0
+
+        jax.lax.fori_loop(0, nl, body, 0)
         return 0
 
-    jax.lax.fori_loop(0, nl, body, 0)
+    jax.lax.fori_loop(0, tpb, tile_body, 0)
 
-    @pl.when(t == num_tiles - 1)
+    @pl.when(b == pl.num_programs(0) - 1)
     def _():
         _drain_pending(attrs_ref, ibuf, isem, pstate, chunk)
 
@@ -582,12 +606,12 @@ def _bwd_kernel(chunk, num_tiles,
             ostate[0] = 0
 
 
-def _bwd_window(chunk, k, cnt, attrs, fg_ref, carry, px, py):
+def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
     alpha, gx, gy, grad_ok = _alphas(attrs, px, py, ent < cnt)
 
     # Live prefix from the saved per-pixel contribution count.
-    n_contrib = fg_ref[0, 5:6, :]  # (1, P)
+    n_contrib = fg_ref[tt, 5:6, :]  # (1, P)
     live = ent.astype(jnp.float32) < n_contrib  # (CHUNK, P)
     alpha = jnp.where(live, alpha, 0.0)
     om = 1.0 - alpha
@@ -605,7 +629,7 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, carry, px, py):
     t_before = t_start * pm_excl  # (CHUNK, P) exclusive prefix
     wmat = alpha * t_before
 
-    g = fg_ref[0, OUT_ROWS : OUT_ROWS + 4, :]  # (4, P) composite cotangent
+    g = fg_ref[tt, OUT_ROWS : OUT_ROWS + 4, :]  # (4, P) composite cotangent
     colors = attrs[:, 6:10]  # (CHUNK, 4)
     # Q[e, p] = sum_c colors[e, c] * g[c, p]
     q = jax.lax.dot_general(
@@ -677,16 +701,24 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, carry, px, py):
 # -----------------------------------------------------------------------------
 
 
-def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int):
-    """Build the custom-vjp'd kernel pair for static geometry params."""
+def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int):
+    """Build the custom-vjp'd kernel pair for static geometry params.
+
+    ``tpb`` tiles share one grid step (see the kernel comments); the tile
+    range arrays and the output/fg blocks are padded to ``nt_pad`` =
+    ceil(num_tiles / tpb) * tpb — pad tiles have count == nlive == 0, so
+    the kernels skip them at one loop-iteration's cost.
+    """
+    nblocks = (num_tiles + tpb - 1) // tpb
+    nt_pad = nblocks * tpb
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk, num_tiles),
+        functools.partial(_fwd_kernel, chunk, num_tiles, tpb, nt_pad),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_tiles,),
+            grid=(nblocks,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, OUT_ROWS, P), lambda t, s, c: (t, 0, 0)
+                (tpb, OUT_ROWS, P), lambda b, s, c: (b, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, chunk, TROWS), jnp.float32),
@@ -695,19 +727,19 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int):
                 pltpu.SMEM((2,), jnp.int32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt_pad, OUT_ROWS, P), jnp.float32),
         interpret=_interpret(),
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk, num_tiles),
+        functools.partial(_bwd_kernel, chunk, num_tiles, tpb, nt_pad),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(num_tiles,),
+            grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (1, 2 * OUT_ROWS, P), lambda t, s, c, nl: (t, 0, 0)
+                    (tpb, 2 * OUT_ROWS, P), lambda b, s, c, nl: (b, 0, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -725,26 +757,32 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int):
         interpret=_interpret(),
     )
 
+    def _pad_t(x, fill=0):
+        return jnp.pad(x, (0, nt_pad - num_tiles), constant_values=fill)
+
     @jax.custom_vjp
     def composite_tiles(attrs_pad, tile_starts, counts):
-        return fwd_call(tile_starts, counts, attrs_pad)
+        return fwd_call(_pad_t(tile_starts), _pad_t(counts), attrs_pad)
 
     def composite_fwd(attrs_pad, tile_starts, counts):
-        out = fwd_call(tile_starts, counts, attrs_pad)
+        out = fwd_call(_pad_t(tile_starts), _pad_t(counts), attrs_pad)
         return out, (attrs_pad, tile_starts, counts, out)
 
     def composite_bwd(res, gout):
         attrs_pad, tile_starts, counts, fwd_out = res
-        fg = jnp.concatenate([fwd_out, gout], axis=1)  # (T, 2*OUT_ROWS, P)
+        # (nt_pad, 2*OUT_ROWS, P); gout rows >= num_tiles are zero because
+        # the caller sliced the primal output to num_tiles.
+        fg = jnp.concatenate([fwd_out, gout], axis=1)
         # Per-tile LIVE window counts from the forward's last-contributor
         # ranks: windows past every pixel's last contributor carry zero
         # gradient and are never visited (saturated tails cost nothing).
-        lcmax = jnp.max(fwd_out[:, 6, :], axis=1)  # (T,)
+        lcmax = jnp.max(fwd_out[:, 6, :], axis=1)  # (nt_pad,)
         nlive = jnp.minimum(
             (lcmax.astype(jnp.int32) + chunk - 1) // chunk,
-            (counts + chunk - 1) // chunk,
+            (_pad_t(counts) + chunk - 1) // chunk,
         ).astype(jnp.int32)
-        dattrs = bwd_call(tile_starts, counts, nlive, attrs_pad, fg)
+        dattrs = bwd_call(_pad_t(tile_starts), _pad_t(counts), nlive,
+                          attrs_pad, fg)
         # Zero the never-visited entry slots (the kernel writes only live
         # windows; everything else is HBM garbage). Gather-free per-entry
         # bound: scatter each tile's written end at its segment start, then
@@ -753,7 +791,7 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int):
         # right — and where a later tile's real window overlapped an earlier
         # tile's overhang, the serialized store order made the real values
         # land last.
-        ends = tile_starts + nlive * chunk
+        ends = tile_starts + nlive[:num_tiles] * chunk
         mark = jnp.zeros((d2p,), jnp.int32).at[tile_starts].max(
             ends, mode="drop"
         )
@@ -768,8 +806,8 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_pallas_fns(num_tiles, d2p, chunk):
-    return _make_pallas_fns(num_tiles, d2p, chunk)
+def _cached_pallas_fns(num_tiles, d2p, chunk, tpb):
+    return _make_pallas_fns(num_tiles, d2p, chunk, tpb)
 
 
 def rasterize_pallas(
@@ -788,6 +826,7 @@ def rasterize_pallas(
     max_per_tile: int = 0,
     span_capacity: int = 0,
     grad_reduce: str = "sorted",
+    tiles_per_block: int = 8,
     return_diagnostics: bool = False,
 ):
     """Rasterize to (H, W, C<=4) image + (H, W) alpha; dense-oracle semantics.
@@ -797,6 +836,7 @@ def rasterize_pallas(
     scalars (budget auto-tuning; fetch asynchronously). ``grad_reduce``
     selects the entry-gradient -> splat-gradient reduction (module
     docstring); all three are numerically validated against the oracle.
+    ``tiles_per_block`` amortizes the per-grid-step floor (kernel comments).
     """
     n = xys.shape[0]
     c = colors.shape[-1]
@@ -805,6 +845,7 @@ def rasterize_pallas(
     tiles_x = (img_width + TILE - 1) // TILE
     tiles_y = (img_height + TILE - 1) // TILE
     num_tiles = tiles_x * tiles_y
+    tpb = max(1, min(tiles_per_block, num_tiles))
 
     bins = bin_splats_dense(
         xys, depths, radii, valid, tiles_x, tiles_y, TILE,
@@ -855,8 +896,9 @@ def rasterize_pallas(
     )
     attrs_pad = jnp.pad(attr_rows, ((0, 0), (0, TROWS - ROWS)))
 
-    composite_tiles = _cached_pallas_fns(num_tiles, d2p, chunk)
+    composite_tiles = _cached_pallas_fns(num_tiles, d2p, chunk, tpb)
     out = composite_tiles(attrs_pad, bins.tile_starts, bins.counts)
+    out = out[:num_tiles]  # drop block-pad tiles (their cotangent is zero)
 
     t_final = out[:, 4, :]  # (T, P)
     bg4 = background
