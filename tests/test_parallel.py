@@ -117,6 +117,51 @@ def test_sharded_step_matches_single_device(mesh_shape, rasterizer):
     )
 
 
+def test_interleaved_bands_match_single_device():
+    """1-vs-N equivalence where interleaving is NON-trivial: a (1, 2) mesh
+    on H=64 gives each band G=2 tile-row groups holding non-adjacent global
+    rows {t, t+2} — exercising the strided binning row mapping, the global
+    pixel-coordinate kernels, the gt row permutation, and the grouped-halo
+    SSIM (parallel/train_step.py interleave path; the (2, 4) case above has
+    G=1 where interleaved == contiguous)."""
+    state, cam_batch, gt, est = _setup()
+    st1, m1 = _run((1, 1), state, cam_batch, gt, est, rasterizer="tiled")
+    stN, mN = _run((1, 2), state, cam_batch, gt, est, rasterizer="tiled")
+    for k in m1:
+        np.testing.assert_allclose(m1[k], mN[k], rtol=2e-4, atol=2e-5, err_msg=k)
+    a = np.asarray(st1.params.means[:N])
+    b = np.asarray(stN.params.means[:N])
+    close = np.isclose(a, b, rtol=3e-4, atol=3e-5)
+    assert close.mean() > 0.99
+    np.testing.assert_allclose(
+        st1.means_grad_accum[:N], stN.means_grad_accum[:N], rtol=5e-3, atol=1e-4
+    )
+
+
+def test_sharded_render_interleaved_matches_unsharded():
+    """Sharded render with ACTIVE row interleaving (n_devices=2, Hl=32 =
+    2 tile-row groups per band: device d holds global tile rows {d, d+2})
+    vs the unsharded renderer — exercises make_sharded_render's strided
+    banding + gathered-band deinterleave (parallel/train_step.py)."""
+    from tinysplat_tpu.render import render
+
+    state, cam_batch, gt, est = _setup()
+    cfg = Config(rasterizer="tiled", sh_degree=2)
+    assert cfg.band_interleave  # default-on path under test
+    cam = jax.tree.map(lambda x: x[0], cam_batch)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    rgb_ref, extras = render(
+        state.params, state.alive, cam, H, W, jnp.int32(2), bg, rasterizer="tiled"
+    )
+    mesh = make_mesh(1, 2)
+    st = shard_state(mesh, state)
+    rfn = make_sharded_render(cfg, H, W, mesh)
+    rgb, depth, alpha = rfn(st.params, st.alive, jnp.int32(2), cam, bg)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(extras["depth"]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(extras["alpha"]), rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.slow  # heavy; fast gate keeps a cheaper representative
 def test_sharded_density_matches_single_device():
     """1-vs-N equivalence WITH the SuGaR density regularizer active

@@ -117,6 +117,11 @@ class Config:
     max_per_tile: int = 0
     span_capacity: int = 0  # binning row-span budget (0 = auto)
     grad_reduce: str = "sorted"  # pallas entry-grad reduction: scatter|sorted|segment
+    # Multi-chip: round-robin 16px tile ROWS over the mesh 'tile' axis
+    # instead of contiguous bands — flattens the per-band intersection
+    # imbalance (measured 1.8x max/mean, SCALING_r03.json) to group
+    # granularity. Bit-equivalent to contiguous banding (1-vs-N tests).
+    band_interleave: bool = True
     viewdirs_mode: str = "reference"  # see render.compute_viewdirs
     # Divergence guard: in-memory snapshot every k steps; non-finite loss
     # rolls training back to it with fresh RNG (0 disables).

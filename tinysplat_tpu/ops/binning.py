@@ -92,6 +92,8 @@ def _sorted_intersections(
     span_capacity: int = 0,
     conics: Optional[jax.Array] = None,
     opacities: Optional[jax.Array] = None,
+    row_stride: int = 1,
+    row_offset=0,
 ):
     """Shared core: (tile, depth)-sorted intersection entries + tile ranges.
 
@@ -129,6 +131,15 @@ def _sorted_intersections(
     anisotropic, partially transparent splats, for which the rect is 2-5x the
     ellipse — this cuts every downstream per-entry cost (attr gather, kernel
     grid, grad scatter, sorts) by the same factor.
+
+    Strided tile-row banding (``row_stride`` S > 1, ``row_offset`` o — o may
+    be a traced scalar, e.g. a mesh axis index): this invocation bins only
+    the GLOBAL tile rows {o, o + S, o + 2S, ...} against a LOCAL grid of
+    ``tiles_y`` rows (local row g <-> global row o + g*S). ``xys`` stay in
+    GLOBAL pixel coordinates. Round-robining rows over the mesh 'tile' axis
+    flattens the per-band intersection imbalance (measured 1.8x max/mean on
+    contiguous bands, SCALING_r03.json) to group granularity. S == 1, o == 0
+    is the plain single-device grid.
     """
     num_tiles = tiles_x * tiles_y
     n = xys.shape[0]
@@ -137,8 +148,13 @@ def _sorted_intersections(
     d1 = span_capacity
     d2 = dup_capacity
 
-    bx0, bx1, by0, by1 = tile_ranges(xys, radii, tiles_x, tiles_y, tile_size)
+    # Clamp rects against the GLOBAL row range; map to local rows below.
+    bx0, bx1, by0, by1 = tile_ranges(
+        xys, radii, tiles_x, tiles_y * row_stride, tile_size
+    )
     ts_f = jnp.float32(tile_size)
+    strided = row_stride != 1
+    off = jnp.asarray(row_offset, jnp.int32)
 
     clip = conics is not None and opacities is not None
     if clip:
@@ -177,6 +193,15 @@ def _sorted_intersections(
         alive = valid & (t_s > 0.0)
     else:
         alive = valid
+
+    if strided:
+        # Global tile rows [by0, by1) -> local strided rows [g0, g1): local
+        # row g covers global row off + g*row_stride. ceil/floor divisions
+        # via numpy floor-division semantics.
+        g0 = -((off - by0) // row_stride)
+        g1 = (by1 - 1 - off) // row_stride + 1
+        by0 = jnp.clip(g0, 0, tiles_y)
+        by1 = jnp.clip(g1, 0, tiles_y)
 
     widths = jnp.maximum(bx1 - bx0, 0)
     rows = jnp.where(alive & (widths > 0), jnp.maximum(by1 - by0, 0), 0)
@@ -230,8 +255,12 @@ def _sorted_intersections(
         s_cx, s_cy = sp[:, 4], sp[:, 5]
         s_p1, s_k1, s_k2, s_inva = sp[:, 6], sp[:, 7], sp[:, 8], sp[:, 9]
         s_dxg, s_dystar, s_dymax = sp[:, 10], sp[:, 11], sp[:, 12]
-        # Pixel band of this tile row, relative to the splat center.
-        dy0 = tile_row * ts_f - s_cy
+        # Pixel band of this tile row, relative to the splat center. The
+        # ellipse lives in GLOBAL pixel space: map strided local rows back.
+        row_g = tile_row
+        if strided:
+            row_g = tile_row * jnp.float32(row_stride) + off.astype(jnp.float32)
+        dy0 = row_g * ts_f - s_cy
         dy1 = dy0 + (ts_f - 1.0)
 
         def f_of(dy):  # x half-extent of the ellipse at offset dy
@@ -361,6 +390,8 @@ def bin_splats(
     span_capacity: int = 0,
     conics: Optional[jax.Array] = None,
     opacities: Optional[jax.Array] = None,
+    row_stride: int = 1,
+    row_offset=0,
 ) -> TileBins:
     """Build depth-sorted per-tile splat lists (dense index table).
 
@@ -388,6 +419,7 @@ def bin_splats(
      order, span_overflow) = _sorted_intersections(
         xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity,
         span_capacity=span_capacity, conics=conics, opacities=opacities,
+        row_stride=row_stride, row_offset=row_offset,
     )
     # This (XLA fallback) path keeps original-splat-id semantics in its
     # tables; the depth-rank -> id conversion costs one 1-col gather.
@@ -432,6 +464,8 @@ def bin_splats_dense(
     span_capacity: int = 0,
     conics: Optional[jax.Array] = None,
     opacities: Optional[jax.Array] = None,
+    row_stride: int = 1,
+    row_offset=0,
 ) -> DenseBins:
     """Build the unpadded dense intersection layout (see DenseBins).
 
@@ -455,6 +489,7 @@ def bin_splats_dense(
      order, span_overflow) = _sorted_intersections(
         xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity,
         span_capacity=span_capacity, conics=conics, opacities=opacities,
+        row_stride=row_stride, row_offset=row_offset,
     )
     counts = jnp.minimum(full_counts, max_per_tile)
     pad_entries = sorted_tile >= num_tiles

@@ -35,11 +35,20 @@ from .binning import bin_splats
 from .rasterize_dense import ALPHA_EPS, ALPHA_MAX, T_EPS
 
 
-def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile_size: int, dtype) -> jax.Array:
-    """(num_tiles, tile_size^2, 2) pixel (x, y) coordinates per tile."""
+def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile_size: int, dtype,
+                       row_stride: int = 1, row_offset=0) -> jax.Array:
+    """(num_tiles, tile_size^2, 2) pixel (x, y) coordinates per tile.
+
+    With strided banding (row_stride S, row_offset o), local tile row g
+    covers GLOBAL pixel rows [(o + g*S) * tile_size, ...) — see
+    binning._sorted_intersections.
+    """
     t = jnp.arange(tiles_x * tiles_y)
     tx = (t % tiles_x).astype(dtype) * tile_size
-    ty = (t // tiles_x).astype(dtype) * tile_size
+    row = t // tiles_x
+    if row_stride != 1:
+        row = row * row_stride + jnp.asarray(row_offset, row.dtype)
+    ty = row.astype(dtype) * tile_size
     py, px = jnp.meshgrid(
         jnp.arange(tile_size, dtype=dtype), jnp.arange(tile_size, dtype=dtype), indexing="ij"
     )
@@ -64,6 +73,8 @@ def rasterize_tiled(
     dup_capacity: int = 0,
     max_per_tile: int = 0,
     span_capacity: int = 0,
+    row_stride: int = 1,
+    row_offset=0,
     return_diagnostics: bool = False,
 ):
     """Rasterize to (H, W, C) image + (H, W) alpha; dense-oracle semantics.
@@ -83,6 +94,7 @@ def rasterize_tiled(
         dup_capacity=dup_capacity, max_per_tile=max_per_tile,
         span_capacity=span_capacity,
         conics=conics, opacities=opacities.reshape(-1),
+        row_stride=row_stride, row_offset=row_offset,
     )
     k_max = bins.idx_lists.shape[1]
     num_chunks = (k_max + chunk - 1) // chunk
@@ -92,7 +104,8 @@ def rasterize_tiled(
     # (num_chunks, T, chunk) scan order
     idx = jnp.transpose(idx.reshape(num_tiles, num_chunks, chunk), (1, 0, 2))
 
-    px = _tile_pixel_coords(tiles_x, tiles_y, tile_size, dtype)  # (T, P, 2)
+    px = _tile_pixel_coords(tiles_x, tiles_y, tile_size, dtype,
+                            row_stride, row_offset)  # (T, P, 2)
     opac = opacities.reshape(-1)
 
     @functools.partial(jax.checkpoint, prevent_cse=False)

@@ -827,6 +827,8 @@ def rasterize_pallas(
     span_capacity: int = 0,
     grad_reduce: str = "sorted",
     tiles_per_block: int = 8,
+    row_stride: int = 1,
+    row_offset=0,
     return_diagnostics: bool = False,
 ):
     """Rasterize to (H, W, C<=4) image + (H, W) alpha; dense-oracle semantics.
@@ -851,6 +853,7 @@ def rasterize_pallas(
         xys, depths, radii, valid, tiles_x, tiles_y, TILE,
         chunk=chunk, dup_capacity=dup_capacity, max_per_tile=max_per_tile,
         span_capacity=span_capacity, conics=conics, opacities=opacities,
+        row_stride=row_stride, row_offset=row_offset,
     )
     ids = bins.entry_rank  # (d2p,) DEPTH RANKS, -1 pad
     d2p = ids.shape[0]
@@ -889,7 +892,10 @@ def rasterize_pallas(
     # at dynamic major offsets (module docstring). The pad is pure HBM
     # bandwidth (~1 ms/step at bench scale), NOT gather work.
     ox = ((bins.entry_tile % tiles_x) * TILE).astype(jnp.float32)
-    oy = ((bins.entry_tile // tiles_x) * TILE).astype(jnp.float32)
+    row_l = bins.entry_tile // tiles_x  # local tile row
+    if row_stride != 1:  # strided banding: local row -> global pixel row
+        row_l = row_l * row_stride + jnp.asarray(row_offset, jnp.int32)
+    oy = (row_l * TILE).astype(jnp.float32)
     shift = jnp.stack([ox, oy], axis=1)  # (d2p, 2)
     attr_rows = jnp.concatenate(
         [attr_rows[:, :2] - shift, attr_rows[:, 2:]], axis=1

@@ -95,8 +95,14 @@ def _project_batch(params: GaussianParams, cams: CameraParams, H: int, W: int, t
 
 
 def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, cfg,
-                    return_diagnostics: bool = False):
-    """Per-camera rasterization of one horizontal band (vmapped over Bl).
+                    return_diagnostics: bool = False,
+                    row_stride: int = 1, row_offset=0):
+    """Per-camera rasterization of one pixel band (vmapped over Bl).
+
+    With row_stride S > 1 the band is the INTERLEAVED set of global 16px
+    tile rows {row_offset, row_offset + S, ...} (xys arrive in global
+    coordinates); with S == 1 it is a contiguous strip (xys arrive
+    pre-shifted to band-local coordinates).
 
     With return_diagnostics, also returns the band's binning overflow
     counters summed over the local camera batch ({'intersections',
@@ -108,6 +114,7 @@ def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, 
 
     kw = {"dup_capacity": cfg.dup_capacity, "max_per_tile": cfg.max_per_tile,
           "span_capacity": cfg.span_capacity,
+          "row_stride": row_stride, "row_offset": row_offset,
           "return_diagnostics": return_diagnostics}
     if resolve_rasterizer(cfg.rasterizer) == "pallas":
         from ..ops.rasterize_pallas import rasterize_pallas as fn
@@ -135,12 +142,12 @@ def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, 
 def _dist_ssim_mean(x, y, H: int, W: int, B: int, n_tile: int, t_idx) -> jax.Array:
     """Exact global mean SSIM over ('data','tile')-sharded image batches.
 
-    x, y: (Bl, Hl, W, 3) local bands. Each band fetches a SSIM_HALO-row halo
-    from the band below it (ppermute), evaluates the valid-mode SSIM map, and
-    masks positions whose 11-row window crosses the true image bottom. The
-    psum of partial sums over the whole mesh equals the single-device value
-    (ops/ssim.py semantics == pytorch_msssim as used at reference
-    scripts/train.py:60-63).
+    x, y: (Bl, Hl, W, 3) local CONTIGUOUS bands. Each band fetches a
+    SSIM_HALO-row halo from the band below it (ppermute), evaluates the
+    valid-mode SSIM map, and masks positions whose 11-row window crosses the
+    true image bottom. The psum of partial sums over the whole mesh equals
+    the single-device value (ops/ssim.py semantics == pytorch_msssim as used
+    at reference scripts/train.py:60-63).
     """
     Hl = x.shape[1]
     halo = min(SSIM_HALO, Hl)
@@ -157,6 +164,49 @@ def _dist_ssim_mean(x, y, H: int, W: int, B: int, n_tile: int, t_idx) -> jax.Arr
     rows = t_idx * Hl + jnp.arange(smap.shape[1])
     mask = (rows < H - SSIM_HALO).astype(x.dtype)
     s = jnp.sum(smap * mask[None, :, None, None])
+    s = jax.lax.psum(s, ("data", "tile"))
+    count = B * (H - SSIM_HALO) * (W - SSIM_HALO) * 3
+    return s / count
+
+
+def _dist_ssim_mean_interleaved(x, y, H: int, W: int, B: int, n_tile: int,
+                                t_idx, tile_size: int) -> jax.Array:
+    """Exact global mean SSIM when bands INTERLEAVE 16px tile rows.
+
+    Band t holds global tile rows {t, t + n_tile, ...} (G groups of
+    ``tile_size`` rows). A group's SSIM windows that cross its bottom need
+    the next ``SSIM_HALO`` GLOBAL rows — the head of the SAME group index on
+    band t+1 (or, from the last band, group g+1 on band 0: one ring ppermute
+    + a group roll). Valid-mode window-start positions partition the global
+    map across (band, group), so the psum equals the single-device value.
+    For n_tile == 1 the ring permute is the identity and the roll alone
+    supplies the in-device group continuation.
+    """
+    Bl, Hl = x.shape[0], x.shape[1]
+    G = Hl // tile_size
+    halo = SSIM_HALO  # tile_size (16) >= SSIM_HALO (10) always
+
+    def groups(a):
+        return a.reshape(Bl, G, tile_size, W, 3)
+
+    xg, yg = groups(x), groups(y)
+    perm = [(t, (t - 1) % n_tile) for t in range(n_tile)]  # full ring
+    hx = jax.lax.ppermute(xg[:, :, :halo], "tile", perm)
+    hy = jax.lax.ppermute(yg[:, :, :halo], "tile", perm)
+    # Band n_tile-1 received band 0's group heads but continues into group
+    # g+1; the rolled-in garbage at g == G-1 is masked (rows past H - halo).
+    is_last = t_idx == n_tile - 1
+    hx = jnp.where(is_last, jnp.roll(hx, -1, axis=1), hx)
+    hy = jnp.where(is_last, jnp.roll(hy, -1, axis=1), hy)
+    xe = jnp.concatenate([xg, hx], axis=2)  # (Bl, G, 16+halo, W, 3)
+    ye = jnp.concatenate([yg, hy], axis=2)
+    smap = jax.vmap(jax.vmap(ssim_map))(xe, ye)  # (Bl, G, 16, W-10, 3)
+    # Global start row of window (g, r): (t_idx + g*n_tile)*tile_size + r.
+    g_idx = jnp.arange(G)[:, None]
+    r_idx = jnp.arange(smap.shape[2])[None, :]
+    rows = (t_idx + g_idx * n_tile) * tile_size + r_idx
+    mask = (rows < H - SSIM_HALO).astype(x.dtype)
+    s = jnp.sum(smap * mask[None, :, :, None, None])
     s = jax.lax.psum(s, ("data", "tile"))
     count = B * (H - SSIM_HALO) * (W - SSIM_HALO) * 3
     return s / count
@@ -208,6 +258,20 @@ def make_sharded_train_step(
         f"band height {Hl} not a multiple of tile_size {cfg.tile_size}; "
         f"pad the image so H is divisible by n_tile * tile_size"
     )
+    # Interleaved tile-row banding (cfg knob; always shape-compatible here
+    # because Hl % tile_size == 0 <=> (H / tile_size) % n_tile == 0).
+    interleave = bool(cfg.band_interleave) and n_tile > 1
+    ts = cfg.tile_size
+    G = Hl // ts
+
+    def _interleave_rows(img):  # (B, H, W, ...) -> row-permuted (B, H, W, ...)
+        rest = img.shape[3:]
+        a = img.reshape(B, G, n_tile, ts, W, *rest)
+        return jnp.swapaxes(a, 1, 2).reshape(B, H, W, *rest)
+
+    def _deinterleave_band_gather(depth_full):  # (Bl, H, W) band-order -> global
+        a = depth_full.reshape(-1, n_tile, G, ts, W)
+        return jnp.swapaxes(a, 1, 2).reshape(-1, H, W)
 
     def device_step(state: GaussianState, opt_state, cams, gt, est_depth, step, key,
                     dprobe=None):
@@ -254,15 +318,21 @@ def make_sharded_train_step(
             )
             opac_f = jax.lax.all_gather(opac, "tile", axis=0, tiled=True)
 
-            # (4) rasterize this device's pixel band (global rows
-            # [t_idx*Hl, (t_idx+1)*Hl)): shift y so band-local tiling sees
-            # band-local pixel coordinates; compositing is per-pixel, so the
-            # band image equals the corresponding global-image rows.
-            y0 = (t_idx * Hl).astype(xys_f.dtype)
-            shift = jnp.stack([jnp.zeros_like(y0), y0])
+            # (4) rasterize this device's pixel band. Interleaved (default):
+            # the band is global tile rows {t_idx, t_idx + n_tile, ...}
+            # (load-balances dense-tile clusters; gt arrives row-permuted to
+            # match — see the train_step wrapper). Contiguous: rows
+            # [t_idx*Hl, (t_idx+1)*Hl), xys pre-shifted band-local.
+            if interleave:
+                band_xys, stride, offset = xys_f, n_tile, t_idx
+            else:
+                y0 = (t_idx * Hl).astype(xys_f.dtype)
+                band_xys = xys_f - jnp.stack([jnp.zeros_like(y0), y0])
+                stride, offset = 1, 0
             img4, alpha, diag = _band_rasterize(
-                xys_f - shift, depths_f, radii_f, conics_f, colors_f,
+                band_xys, depths_f, radii_f, conics_f, colors_f,
                 opac_f, valid_f, Hl, W, bg4, cfg, return_diagnostics=True,
+                row_stride=stride, row_offset=offset,
             )
             rgb = jnp.minimum(img4[..., :3], 1.0)  # (Bl, Hl, W, 3)
             depth = img4[..., 3]
@@ -272,7 +342,11 @@ def make_sharded_train_step(
             npix = B * H * W
             l1_sum = jax.lax.psum(jnp.sum(jnp.abs(rgb - gt)), ("data", "tile"))
             loss_l1 = l1_sum / (npix * 3)
-            ssim_val = _dist_ssim_mean(rgb, gt, H, W, B, n_tile, t_idx)
+            if interleave:
+                ssim_val = _dist_ssim_mean_interleaved(
+                    rgb, gt, H, W, B, n_tile, t_idx, cfg.tile_size)
+            else:
+                ssim_val = _dist_ssim_mean(rgb, gt, H, W, B, n_tile, t_idx)
             loss_ssim = 1.0 - ssim_val
             loss = (1.0 - cfg.lambda_dssim) * loss_l1 + cfg.lambda_dssim * loss_ssim
 
@@ -325,6 +399,8 @@ def make_sharded_train_step(
                     params_shard,
                 )
                 depth_full = jax.lax.all_gather(depth, "tile", axis=1, tiled=True)
+                if interleave:  # bands hold interleaved rows; restore global
+                    depth_full = _deinterleave_band_gather(depth_full)
                 d = density_at_points(dprobe.points, dprobe.knn_idx, params_full)
 
                 def one_cam(cam, depth_b):
@@ -407,6 +483,11 @@ def make_sharded_train_step(
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(state, opt_state, cams, gt, est_depth, step, key,
                    density_probe=None):
+        if interleave:
+            # Row-permute targets so the contiguous 'tile' shard slices hold
+            # the interleaved tile rows (band t <- global rows t, t+nt, ...).
+            gt = _interleave_rows(gt)
+            est_depth = _interleave_rows(est_depth)
         in_specs = [
             _cap_specs(state),
             _cap_specs(opt_state),
@@ -447,6 +528,11 @@ def make_sharded_render(cfg: Config, img_height: int, img_width: int, mesh: Mesh
     Hl = H // n_devices
     flat = ("data", "tile")
     n_tile = mesh.shape["tile"]
+    ts = cfg.tile_size
+    # Interleave tile rows over ALL devices when the shape allows (see
+    # _sorted_intersections strided banding): flattens render-band load.
+    interleave = bool(cfg.band_interleave) and n_devices > 1 and Hl % ts == 0
+    G = Hl // ts
 
     def device_render(params: GaussianParams, alive, active_deg, cam: CameraParams, background):
         idx = jax.lax.axis_index("data") * n_tile + jax.lax.axis_index("tile")
@@ -465,12 +551,16 @@ def make_sharded_render(cfg: Config, img_height: int, img_width: int, mesh: Mesh
             lambda x: jax.lax.all_gather(x, flat, axis=0, tiled=True), attrs
         )
         bg4 = jnp.concatenate([background, background[:1]])
-        y0 = (idx * Hl).astype(xys_f.dtype)
-        shift = jnp.stack([jnp.zeros_like(y0), y0])
+        if interleave:
+            band_xys, stride, offset = xys_f, n_devices, idx
+        else:
+            y0 = (idx * Hl).astype(xys_f.dtype)
+            band_xys = xys_f - jnp.stack([jnp.zeros_like(y0), y0])
+            stride, offset = 1, 0
         img4, alpha = _band_rasterize(
-            (xys_f - shift)[None], depths_f[None], radii_f[None],
+            band_xys[None], depths_f[None], radii_f[None],
             conics_f[None], colors_f[None], opac_f, valid_f[None],
-            Hl, W, bg4, cfg,
+            Hl, W, bg4, cfg, row_stride=stride, row_offset=offset,
         )
         img4, alpha = img4[0], alpha[0]
         return jnp.minimum(img4[..., :3], 1.0), img4[..., 3], alpha
@@ -490,6 +580,16 @@ def make_sharded_render(cfg: Config, img_height: int, img_width: int, mesh: Mesh
             out_specs=(P(flat), P(flat), P(flat)),
             check_vma=False,
         )
-        return fn(params, alive, active_deg, cam, background)
+        rgb, depth, alpha = fn(params, alive, active_deg, cam, background)
+        if interleave:
+            # Device d produced global tile rows {d, d+nd, ...}; the gathered
+            # axis is band-major — restore global row order.
+            def deint(a):
+                rest = a.shape[2:]
+                b = a.reshape(n_devices, G, ts, W, *rest)
+                return jnp.swapaxes(b, 0, 1).reshape(H, W, *rest)
+
+            rgb, depth, alpha = deint(rgb), deint(depth), deint(alpha)
+        return rgb, depth, alpha
 
     return render_fn
