@@ -89,20 +89,35 @@ def main():
             full_projmat=cam.projmat @ cam.viewmat, fx=cam.fx, fy=cam.fy,
             cx=W / 2.0, cy=H / 2.0, img_height=H, img_width=W, tile_size=16)
         opacs = jax.nn.sigmoid(st.params.opacities.reshape(-1))
-        counts = []
+        contig, inter = [], []
         for b in range(n_tile):
+            # Contiguous band b: rows [b*Hl, (b+1)*Hl), band-local coords.
             shift = jnp.asarray([0.0, b * Hl], jnp.float32)
             bins = bin_splats_dense(
                 proj.xys - shift, proj.depths, proj.radii,
                 proj.valid & st.alive, W // 16, Hl // 16, 16,
                 dup_capacity=16 * n, conics=proj.conics, opacities=opacs)
-            counts.append(bins.total_intersections)
-        return jnp.stack(counts)
+            contig.append(bins.total_intersections)
+            # Interleaved band b (cfg.band_interleave default): global tile
+            # rows {b, b + n_tile, ...} via the strided grid.
+            bins_i = bin_splats_dense(
+                proj.xys, proj.depths, proj.radii,
+                proj.valid & st.alive, W // 16, Hl // 16, 16,
+                dup_capacity=16 * n, conics=proj.conics, opacities=opacs,
+                row_stride=n_tile, row_offset=b)
+            inter.append(bins_i.total_intersections)
+        return jnp.stack(contig), jnp.stack(inter)
 
-    per_band = np.stack([np.asarray(band_counts(c.params())) for c in cams])
-    band_mean = float(per_band.mean())
-    band_max = float(per_band.max(axis=1).mean())  # mean over cams of max band
-    imbalance = band_max / max(band_mean, 1.0)
+    both = [jax.device_get(band_counts(c.params())) for c in cams]
+
+    def spread(idx):
+        per_band = np.stack([np.asarray(b[idx]) for b in both])
+        mean = float(per_band.mean())
+        mx = float(per_band.max(axis=1).mean())  # mean over cams of max band
+        return mean, mx, mx / max(mean, 1.0)
+
+    band_mean, band_max, imbalance = spread(0)
+    _, band_max_i, imbalance_i = spread(1)
 
     # --- 2. sharded-step total-work overhead ------------------------------
     cfg = Config(rasterizer="tiled", sh_degree=1)
@@ -144,8 +159,12 @@ def main():
         "band_intersections_mean": round(band_mean),
         "band_intersections_max_over_cams": round(band_max),
         "band_imbalance_factor": round(imbalance, 2),
+        "band_intersections_max_interleaved": round(band_max_i),
+        "band_imbalance_factor_interleaved": round(imbalance_i, 2),
         "note_imbalance": "max-band/mean-band intersections; the worst band "
-                          "bounds real-slice step time at this mesh shape",
+                          "bounds real-slice step time at this mesh shape. "
+                          "_interleaved = cfg.band_interleave (default on): "
+                          "16px tile rows round-robined over bands",
         "step_ms_1dev_x_batch": round(t_1 * B * 1e3, 1),
         "step_ms_sharded": round(t_n * 1e3, 1),
         "sharded_work_overhead": round(overhead, 2),
