@@ -23,6 +23,36 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _fail_fast_if_tpu_relay_dead() -> None:
+    """Refuse to hang: initializing the axon TPU backend blocks forever when
+    the local relay is down (NOTES.md Gotchas). Probe the relay socket BEFORE
+    importing/initializing jax; exit with a diagnostic instead of hanging.
+    """
+    if os.environ.get("PALLAS_AXON_POOL_IPS") is None:
+        return  # not routed through the axon relay (e.g. CPU run)
+    import socket
+
+    for port in (8082, 8083):
+        s = socket.socket()
+        s.settimeout(3)
+        try:
+            s.connect(("127.0.0.1", port))
+            return  # relay alive
+        except OSError:
+            continue
+        finally:
+            s.close()
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_throughput",
+        "error": "axon TPU relay unreachable (127.0.0.1:8082/8083 refused); "
+                 "bench requires the chip — refusing to hang in backend init",
+    }))
+    sys.exit(1)
+
+
+_fail_fast_if_tpu_relay_dead()
+
 import jax
 import jax.numpy as jnp
 
