@@ -49,9 +49,9 @@ def _setup(sh_degree=2):
 
 
 def _run(mesh_shape, state, cam_batch, gt, est, steps=2, rasterizer="tiled",
-         density_probe=None):
+         density_probe=None, antialiased=False):
     cfg = Config(
-        rasterizer=rasterizer, sh_degree=2,
+        rasterizer=rasterizer, sh_degree=2, antialiased=antialiased,
         regularize_opacity=True, regularize_opacity_start=0, regularize_opacity_end=10,
         regularize_depth=True, regularize_depth_start=0, regularize_depth_end=10,
         regularize_density=density_probe is not None,
@@ -123,10 +123,13 @@ def test_interleaved_bands_match_single_device():
     rows {t, t+2} — exercising the strided binning row mapping, the global
     pixel-coordinate kernels, the gt row permutation, and the grouped-halo
     SSIM (parallel/train_step.py interleave path; the (2, 4) case above has
-    G=1 where interleaved == contiguous)."""
+    G=1 where interleaved == contiguous). Runs antialiased to also cover the
+    per-view opacity-compensation batching in _band_rasterize."""
     state, cam_batch, gt, est = _setup()
-    st1, m1 = _run((1, 1), state, cam_batch, gt, est, rasterizer="tiled")
-    stN, mN = _run((1, 2), state, cam_batch, gt, est, rasterizer="tiled")
+    st1, m1 = _run((1, 1), state, cam_batch, gt, est, rasterizer="tiled",
+                   antialiased=True)
+    stN, mN = _run((1, 2), state, cam_batch, gt, est, rasterizer="tiled",
+                   antialiased=True)
     for k in m1:
         np.testing.assert_allclose(m1[k], mN[k], rtol=2e-4, atol=2e-5, err_msg=k)
     a = np.asarray(st1.params.means[:N])

@@ -122,6 +122,9 @@ class Config:
     # imbalance (measured 1.8x max/mean, SCALING_r03.json) to group
     # granularity. Bit-equivalent to contiguous banding (1-vs-N tests).
     band_interleave: bool = True
+    # Mip-Splatting opacity compensation (beyond-reference; the legacy
+    # gsplat API has no antialiased mode). See render.antialias_compensation.
+    antialiased: bool = False
     viewdirs_mode: str = "reference"  # see render.compute_viewdirs
     # Divergence guard: in-memory snapshot every k steps; non-finite loss
     # rolls training back to it with fresh RNG (0 disables).

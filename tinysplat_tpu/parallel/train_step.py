@@ -49,6 +49,7 @@ from ..models.gaussians import GaussianParams, GaussianState
 from ..ops.projection import project_gaussians
 from ..ops.sh import eval_sh
 from ..ops.ssim import ssim_map
+from ..render import antialias_compensation
 from ..train import make_optimizer
 from .sharding import capacity_leaf_spec
 
@@ -125,14 +126,20 @@ def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, 
 
         kw["tile_size"] = cfg.tile_size
 
-    def one(xys_b, depths_b, radii_b, conics_b, colors_b, valid_b):
-        return fn(xys_b, depths_b, radii_b, conics_b, colors_b, opac, valid_b, Hl, W, bg, **kw)
+    # opac is (N,) shared across the camera batch, or (Bl, N) per-camera
+    # (antialiased mode: the compensation depends on per-view conics).
+    per_cam_opac = opac.ndim == 2
+
+    def one(xys_b, depths_b, radii_b, conics_b, colors_b, opac_b, valid_b):
+        return fn(xys_b, depths_b, radii_b, conics_b, colors_b, opac_b, valid_b, Hl, W, bg, **kw)
 
     if xys.shape[0] == 1:  # common case: one camera per data group — no vmap
-        out = one(xys[0], depths[0], radii[0], conics[0], colors[0], valid[0])
+        out = one(xys[0], depths[0], radii[0], conics[0], colors[0],
+                  opac[0] if per_cam_opac else opac, valid[0])
         out = jax.tree.map(lambda x: x[None], out)
     else:
-        out = jax.vmap(one)(xys, depths, radii, conics, colors, valid)
+        out = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0 if per_cam_opac else None, 0))(
+            xys, depths, radii, conics, colors, opac, valid)
     if return_diagnostics:
         img, alpha, diag = out
         return img, alpha, jax.tree.map(lambda x: jnp.sum(x), diag)
@@ -317,6 +324,8 @@ def make_sharded_train_step(
                 axis=1,
             )
             opac_f = jax.lax.all_gather(opac, "tile", axis=0, tiled=True)
+            if cfg.antialiased:  # per-view compensation -> (Bl, N) opacities
+                opac_f = opac_f[None, :] * antialias_compensation(conics_f)
 
             # (4) rasterize this device's pixel band. Interleaved (default):
             # the band is global tile rows {t_idx, t_idx + n_tile, ...}
@@ -551,6 +560,8 @@ def make_sharded_render(cfg: Config, img_height: int, img_width: int, mesh: Mesh
             lambda x: jax.lax.all_gather(x, flat, axis=0, tiled=True), attrs
         )
         bg4 = jnp.concatenate([background, background[:1]])
+        if cfg.antialiased:
+            opac_f = opac_f * antialias_compensation(conics_f)
         if interleave:
             band_xys, stride, offset = xys_f, n_devices, idx
         else:

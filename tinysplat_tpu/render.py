@@ -30,8 +30,31 @@ import jax.numpy as jnp
 
 from .cameras import CameraParams
 from .models.gaussians import GaussianParams
-from .ops.projection import project_gaussians
+from .ops.projection import COV2D_BLUR, project_gaussians
 from .ops.sh import eval_sh
+
+
+def antialias_compensation(conics: jax.Array) -> jax.Array:
+    """Mip-Splatting opacity compensation sqrt(det Σ / det(Σ + blur·I)).
+
+    ``conics`` (..., 3) is the inverse of the BLURRED 2D covariance
+    (projection adds COV2D_BLUR·I, ops/projection.py:154-156), exactly the
+    classic-3DGS dilation that biases opacity for sub-pixel splats. The
+    Mip-Splatting / modern-gsplat ``antialiased`` mode cancels that bias by
+    scaling opacity with the determinant ratio of the pre-blur to blurred
+    covariance. Both determinants are recoverable from the conic alone
+    (Σ = adj(conic)/det(conic)), so the correction is a cheap (N,)-column
+    epilogue outside the fused projection kernel and its gradient rides the
+    existing conic VJP. Beyond-reference feature: the legacy gsplat API the
+    reference uses (rasterize.py:32) has no antialiased mode.
+    """
+    a, b, c = conics[..., 0], conics[..., 1], conics[..., 2]
+    det_conic = a * c - b * b  # = 1 / det(Σ_blur); > 0 for valid splats
+    safe = jnp.maximum(det_conic, 1e-12)
+    # det(Σ_blur - blur·I) via Σ_blur = [[c, -b], [-b, a]] / det_conic.
+    det_orig = (c / safe - COV2D_BLUR) * (a / safe - COV2D_BLUR) - (b / safe) ** 2
+    ratio = det_orig * safe  # det_orig / det_blur
+    return jnp.where(det_conic > 0, jnp.sqrt(jnp.clip(ratio, 0.0, 1.0)), 0.0)
 
 
 def resolve_rasterizer(name: str) -> str:
@@ -81,6 +104,8 @@ def render(
     span_capacity: int = 0,
     grad_reduce: str = "sorted",
     chunk: int = 128,
+    tiles_per_block: int = 8,
+    antialiased: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Render an (H, W, 3) image (+ extras) from Gaussian parameters.
 
@@ -118,6 +143,8 @@ def render(
     rgbs = jnp.maximum(rgbs + 0.5, 0.0)
 
     opacities = jax.nn.sigmoid(params.opacities.reshape(-1))
+    if antialiased:
+        opacities = opacities * antialias_compensation(proj.conics)
     valid = proj.valid & alive
 
     colors4 = jnp.concatenate([rgbs, proj.depths[:, None]], axis=-1)
@@ -150,7 +177,8 @@ def render(
             img_height, img_width, bg4,
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
             span_capacity=span_capacity, grad_reduce=grad_reduce,
-            chunk=chunk, return_diagnostics=True,
+            chunk=chunk, tiles_per_block=tiles_per_block,
+            return_diagnostics=True,
         )
     else:
         raise ValueError(f"Unknown rasterizer backend: {rasterizer}")

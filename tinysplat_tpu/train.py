@@ -128,6 +128,7 @@ def compute_losses(
         max_per_tile=cfg.max_per_tile,
         span_capacity=cfg.span_capacity,
         grad_reduce=cfg.grad_reduce,
+        antialiased=cfg.antialiased,
     )
     loss_l1 = jnp.mean(jnp.abs(rgb - gt_image))
     loss_ssim = 1.0 - ssim(rgb, gt_image)

@@ -486,6 +486,7 @@ class Trainer:
                     max_per_tile=cfg.max_per_tile,
                     span_capacity=cfg.span_capacity,
                     grad_reduce=cfg.grad_reduce,
+                    antialiased=cfg.antialiased,
                 )
 
             self._step_fns[key] = render_fn
