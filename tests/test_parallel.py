@@ -49,9 +49,10 @@ def _setup(sh_degree=2):
 
 
 def _run(mesh_shape, state, cam_batch, gt, est, steps=2, rasterizer="tiled",
-         density_probe=None, antialiased=False):
+         density_probe=None, antialiased=False, densify_strategy="default"):
     cfg = Config(
         rasterizer=rasterizer, sh_degree=2, antialiased=antialiased,
+        densify_strategy=densify_strategy,
         regularize_opacity=True, regularize_opacity_start=0, regularize_opacity_end=10,
         regularize_depth=True, regularize_depth_start=0, regularize_depth_end=10,
         regularize_density=density_probe is not None,
@@ -139,6 +140,25 @@ def test_interleaved_bands_match_single_device():
     np.testing.assert_allclose(
         st1.means_grad_accum[:N], stN.means_grad_accum[:N], rtol=5e-3, atol=1e-4
     )
+
+
+def test_mcmc_noise_matches_single_device():
+    """With densify_strategy='mcmc' the step injects covariance-shaped
+    position noise AFTER Adam; the sharded step draws one full-capacity
+    eps from the same key and slices each FSDP shard's rows, so 1-vs-N
+    must agree exactly on the noise too (validates the
+    (t_idx * n_data + d_idx) * c_shard row layout)."""
+    state, cam_batch, gt, est = _setup()
+    st1, m1 = _run((1, 1), state, cam_batch, gt, est,
+                   densify_strategy="mcmc")
+    stN, mN = _run((2, 2), state, cam_batch, gt, est,
+                   densify_strategy="mcmc")
+    for k in m1:
+        np.testing.assert_allclose(m1[k], mN[k], rtol=2e-4, atol=2e-5, err_msg=k)
+    a = np.asarray(st1.params.means[:N])
+    b = np.asarray(stN.params.means[:N])
+    close = np.isclose(a, b, rtol=3e-4, atol=3e-5)
+    assert close.mean() > 0.99
 
 
 def test_sharded_render_interleaved_matches_unsharded():

@@ -125,6 +125,17 @@ class Config:
     # Mip-Splatting opacity compensation (beyond-reference; the legacy
     # gsplat API has no antialiased mode). See render.antialias_compensation.
     antialiased: bool = False
+    # Densification strategy (beyond-reference): 'default' = the reference's
+    # clone/split/prune heuristics (models/densify.py); 'mcmc' = 3DGS-MCMC
+    # relocation + per-step covariance-shaped noise (models/densify_mcmc.py)
+    # — fixed capacity, no growth recompiles.
+    densify_strategy: str = "default"
+    mcmc_cap: int = 0  # target live-splat cap (0 = the capacity)
+    mcmc_min_opacity: float = 0.005  # below this, a splat is relocated
+    mcmc_growth_factor: float = 1.05  # live-count growth per refine pass
+    mcmc_noise_lr: float = 5e5  # noise scale x current means LR (gsplat)
+    lambda_mcmc_opacity: float = 0.01  # L1 opacity sparsity regularizer
+    lambda_mcmc_scale: float = 0.01  # L1 scale regularizer
     viewdirs_mode: str = "reference"  # see render.compute_viewdirs
     # Divergence guard: in-memory snapshot every k steps; non-finite loss
     # rolls training back to it with fresh RNG (0 disables).

@@ -468,6 +468,25 @@ def make_sharded_train_step(
         updates, new_opt_state = optimizer.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
+        if cfg.densify_strategy == "mcmc":
+            # Same full-capacity noise as the single-device step (identical
+            # key -> identical eps), sliced to this device's FSDP rows:
+            # full row index = (t_idx * n_data + d_idx) * c_shard + local
+            # (the 'data' then 'tile' all_gathers concatenate in that order).
+            from ..models.densify_mcmc import apply_noise
+            from ..train import means_lr_at
+
+            eps_full = jax.random.normal(
+                jax.random.fold_in(key, 1),
+                (c_shard * n_data * n_tile, 3), new_params.means.dtype,
+            )
+            row0 = (t_idx * n_data + d_idx) * c_shard
+            eps_local = jax.lax.dynamic_slice(eps_full, (row0, 0), (c_shard, 3))
+            new_params = apply_noise(
+                new_params, state.alive, eps_local,
+                cfg.mcmc_noise_lr * means_lr_at(cfg, step), cfg,
+            )
+
         gnorm_col = jax.lax.psum(
             jnp.sum(jnp.linalg.norm(probe_grad, axis=-1), axis=0), "data"
         )  # (C/nt,)

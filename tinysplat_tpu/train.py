@@ -83,6 +83,17 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     )
 
 
+def means_lr_at(cfg: Config, step: jax.Array) -> jax.Array:
+    """The means learning rate at ``step`` (same schedule as
+    make_optimizer's scale_update; used by the MCMC noise injector)."""
+    decay_steps = cfg.lr_means_decay_steps or cfg.max_iter
+    if cfg.lr_means_final > 0.0 and decay_steps > 0:
+        log_ratio = float(np_log(cfg.lr_means_final / cfg.lr_means))
+        frac = jnp.clip(step / decay_steps, 0.0, 1.0)
+        return cfg.lr_means * jnp.exp(log_ratio * frac)
+    return jnp.asarray(cfg.lr_means)
+
+
 class StepOutput(NamedTuple):
     state: GaussianState
     opt_state: Any
@@ -176,6 +187,23 @@ def compute_losses(
         loss = loss + gate * cfg.lambda_density * loss_density
         aux["loss_density"] = loss_density
 
+    # MCMC sparsity regularizers (3DGS-MCMC eq. 12 / gsplat MCMCStrategy
+    # opacity_reg + scale_reg), over live splats only.
+    if cfg.densify_strategy == "mcmc":
+        n_live = jnp.maximum(jnp.sum(state.alive), 1)
+        if cfg.lambda_mcmc_opacity > 0:
+            o = jax.nn.sigmoid(params.opacities.reshape(-1))
+            loss_mo = jnp.sum(jnp.where(state.alive, o, 0.0)) / n_live
+            loss = loss + cfg.lambda_mcmc_opacity * loss_mo
+            aux["loss_mcmc_opacity"] = loss_mo
+        if cfg.lambda_mcmc_scale > 0:
+            s = jnp.exp(params.scales)
+            loss_ms = (
+                jnp.sum(jnp.where(state.alive[:, None], s, 0.0)) / n_live
+            )
+            loss = loss + cfg.lambda_mcmc_scale * loss_ms
+            aux["loss_mcmc_scale"] = loss_ms
+
     return loss, aux
 
 
@@ -219,6 +247,14 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
 
         updates, new_opt_state = optimizer.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        if cfg.densify_strategy == "mcmc":
+            from .models import densify_mcmc
+
+            new_params = densify_mcmc.inject_noise(
+                new_params, state.alive, jax.random.fold_in(key, 1),
+                cfg.mcmc_noise_lr * means_lr_at(cfg, step), cfg,
+            )
 
         # Densification signal: accumulate ||dL/d(screen xy)|| once past the
         # gradient warm-up (train.py:101, model_gaussian.py:130-132).

@@ -150,6 +150,22 @@ class Trainer:
             return
         if step % self.interval_densify != 0:
             return
+        if cfg.densify_strategy == "mcmc":
+            # 3DGS-MCMC: relocation instead of clone/split/prune; capacity
+            # is the cap by design — no overflow/growth path.
+            from .models.densify_mcmc import relocate_and_grow
+
+            self.key, sub = jax.random.split(self.key)
+            self.state, self.opt_state, stats = relocate_and_grow(
+                self.state, self.opt_state, sub, cfg
+            )
+            stats = jax.device_get(stats)
+            log.debug(
+                "mcmc refine step %d: relocated %d grown %d live %d",
+                step, int(stats["relocated"]), int(stats["grown"]),
+                int(stats["num_live"]),
+            )
+            return
         cam = self.scene.cameras[0]
         max_dim = max(cam.width, cam.height)
         self.key, sub = jax.random.split(self.key)
@@ -279,6 +295,7 @@ class Trainer:
             cfg.interval_opacity_reset > 0
             and self.step % cfg.interval_opacity_reset == 0
             and self.step <= cfg.densify_end
+            and cfg.densify_strategy != "mcmc"  # MCMC self-regulates opacity
         ):
             self.state = reset_opacities(self.state, cfg.epsilon_alpha)
 
