@@ -49,10 +49,11 @@ def _setup(sh_degree=2):
 
 
 def _run(mesh_shape, state, cam_batch, gt, est, steps=2, rasterizer="tiled",
-         density_probe=None, antialiased=False, densify_strategy="default"):
+         density_probe=None, antialiased=False, densify_strategy="default",
+         pose_deltas=None):
     cfg = Config(
         rasterizer=rasterizer, sh_degree=2, antialiased=antialiased,
-        densify_strategy=densify_strategy,
+        densify_strategy=densify_strategy, pose_opt=pose_deltas is not None,
         regularize_opacity=True, regularize_opacity_start=0, regularize_opacity_end=10,
         regularize_depth=True, regularize_depth_start=0, regularize_depth_end=10,
         regularize_density=density_probe is not None,
@@ -76,9 +77,12 @@ def _run(mesh_shape, state, cam_batch, gt, est, steps=2, rasterizer="tiled",
             density_probe,
         )
     metrics = None
+    kw = {}
+    if pose_deltas is not None:
+        kw["pose_deltas"] = jnp.asarray(pose_deltas)
     for i in range(steps):
         out = fn(st, op, cam_batch, gt, est, i, jax.random.PRNGKey(100 + i),
-                 density_probe=probe)
+                 density_probe=probe, **kw)
         st, op, metrics = out.state, out.opt_state, out.metrics
     return jax.device_get(st), jax.device_get(metrics)
 
@@ -140,6 +144,25 @@ def test_interleaved_bands_match_single_device():
     np.testing.assert_allclose(
         st1.means_grad_accum[:N], stN.means_grad_accum[:N], rtol=5e-3, atol=1e-4
     )
+
+
+def test_pose_grad_matches_single_device():
+    """--pose-opt on the sharded step: nonzero SE(3) deltas refine the
+    cameras inside the differentiated loss; the (B, 6) pose gradients
+    (psum over 'tile', gathered over 'data') must match the 1-device run —
+    validates the check_vma cotangent-scale reasoning for the new grad
+    path."""
+    state, cam_batch, gt, est = _setup()
+    deltas = np.asarray(
+        [[0.01, -0.02, 0.005, 0.01, 0.0, -0.01],
+         [-0.005, 0.01, 0.02, 0.0, 0.01, 0.005]], np.float32)
+    st1, m1 = _run((1, 1), state, cam_batch, gt, est, pose_deltas=deltas)
+    stN, mN = _run((2, 2), state, cam_batch, gt, est, pose_deltas=deltas)
+    np.testing.assert_allclose(m1["pose_grad"], mN["pose_grad"],
+                               rtol=2e-3, atol=1e-6)
+    assert np.abs(m1["pose_grad"]).sum() > 0
+    for k in ("loss", "psnr"):
+        np.testing.assert_allclose(m1[k], mN[k], rtol=2e-4, err_msg=k)
 
 
 def test_mcmc_noise_matches_single_device():

@@ -46,6 +46,41 @@ class CameraParams:
         return self.projmat @ self.viewmat
 
 
+def so3_exp(omega: jax.Array) -> jax.Array:
+    """Rodrigues' rotation: (3,) axis-angle -> (3, 3) rotation matrix.
+
+    Differentiable at omega == 0 (Taylor guards on sin/cos factors).
+    """
+    theta = jnp.sqrt(jnp.sum(omega * omega) + 1e-24)  # eps: smooth at 0
+    k = omega / theta  # unit axis (0 at omega == 0)
+    K = jnp.array([
+        [0.0, -k[2], k[1]],
+        [k[2], 0.0, -k[0]],
+        [-k[1], k[0], 0.0],
+    ])
+    return jnp.eye(3) + jnp.sin(theta) * K + (1.0 - jnp.cos(theta)) * (K @ K)
+
+
+def apply_pose_delta(cam: CameraParams, delta: jax.Array) -> CameraParams:
+    """Left-multiply the view matrix by an SE(3) delta (pose refinement).
+
+    delta = (omega[3], tau[3]): R' = exp(omega) R, t' = exp(omega) t + tau.
+    Differentiable wrt delta — the gradient path for --pose-opt (camera
+    pose optimization, beyond the reference: its cameras are fixed
+    buffers, scene.py:49-110). delta == 0 is the exact identity.
+    """
+    Rd = so3_exp(delta[:3])
+    R = cam.viewmat[:3, :3]
+    t = cam.viewmat[:3, 3]
+    R2 = Rd @ R
+    t2 = Rd @ t + delta[3:]
+    view = jnp.eye(4, dtype=cam.viewmat.dtype)
+    view = view.at[:3, :3].set(R2).at[:3, 3].set(t2)
+    return dataclasses.replace(
+        cam, viewmat=view, cam_pos=-(R2.T @ t2)
+    )
+
+
 def make_view_matrix(position: np.ndarray, quat: np.ndarray) -> np.ndarray:
     """World->camera matrix from camera center + world->cam quaternion.
 

@@ -130,6 +130,11 @@ class Config:
     # relocation + per-step covariance-shaped noise (models/densify_mcmc.py)
     # — fixed capacity, no growth recompiles.
     densify_strategy: str = "default"
+    # Camera pose optimization (beyond-reference; its cameras are fixed
+    # buffers): learnable per-camera SE(3) deltas, co-optimized with the
+    # splats through the rendering gradient. See cameras.apply_pose_delta.
+    pose_opt: bool = False
+    lr_pose: float = 1e-4
     mcmc_cap: int = 0  # target live-splat cap (0 = the capacity)
     mcmc_min_opacity: float = 0.005  # below this, a splat is relocated
     mcmc_growth_factor: float = 1.05  # live-count growth per refine pass

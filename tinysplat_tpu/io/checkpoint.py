@@ -29,10 +29,16 @@ def save_checkpoint(
     opt_state: Any = None,
     step: int = 0,
     rng_key: Optional[jax.Array] = None,
+    extras: Optional[dict] = None,
 ) -> None:
+    """``extras``: optional {name: array} of auxiliary training state (e.g.
+    the --pose-opt per-camera delta table + its Adam moments), stored under
+    ``extra/<name>`` and returned by load_checkpoint as the same dict."""
     from ..models.gaussians import state_dict
 
     payload = {}
+    for k, v in (extras or {}).items():
+        payload[f"extra/{k}"] = np.asarray(v)
     # Compact model snapshot (reference-compatible keys).
     for k, v in state_dict(state).items():
         payload[f"model/{k}"] = v
@@ -259,3 +265,13 @@ def load_checkpoint(
         if "meta/rng" in files:
             rng_key = jax.random.wrap_key_data(z["meta/rng"])
     return state, opt_state, step, rng_key
+
+
+def load_checkpoint_extras(path: str) -> dict:
+    """The ``extras`` dict passed to save_checkpoint (empty if none)."""
+    with np.load(path) as z:
+        return {
+            k.split("/", 1)[1]: np.asarray(z[k])
+            for k in z.files
+            if k.startswith("extra/")
+        }

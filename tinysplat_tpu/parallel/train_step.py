@@ -281,7 +281,7 @@ def make_sharded_train_step(
         return jnp.swapaxes(a, 1, 2).reshape(-1, H, W)
 
     def device_step(state: GaussianState, opt_state, cams, gt, est_depth, step, key,
-                    dprobe=None):
+                    dprobe=None, pose_deltas=None):
         # state leaves: (C/ndev, ...); cams leaves: (Bl, ...);
         # gt: (Bl, Hl, W, 3); est_depth: (Bl, Hl, W).
         t_idx = jax.lax.axis_index("tile")
@@ -297,11 +297,19 @@ def make_sharded_train_step(
 
         alive_col = jax.lax.all_gather(state.alive, "data", tiled=True)
 
-        def loss_fn(params_shard: GaussianParams, probe):
+        def loss_fn(params_shard: GaussianParams, probe, pose_d=None):
+            # (0) --pose-opt: refine the local cameras by their SE(3) deltas
+            # (differentiated; same math as the single-device step).
+            if pose_d is not None:
+                from ..cameras import apply_pose_delta
+
+                vcams = jax.vmap(apply_pose_delta)(cams, pose_d)
+            else:
+                vcams = cams
             # (1) FSDP gather over 'data' -> this tile-column's splat slice.
             params_col = _gather(params_shard, "data")
             # (2) project + SH per local camera.
-            proj = _project_batch(params_col, cams, H, W, cfg.tile_size)
+            proj = _project_batch(params_col, vcams, H, W, cfg.tile_size)
             xys = proj.xys + probe  # (Bl, C/nt, 2)
 
             def viewdirs_one(cam: CameraParams):
@@ -309,7 +317,7 @@ def make_sharded_train_step(
                 d = params_col.means - origin
                 return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
 
-            viewdirs = jax.vmap(viewdirs_one)(cams)
+            viewdirs = jax.vmap(viewdirs_one)(vcams)
             coeffs = params_col.sh_coeffs()
             rgbs = jax.vmap(lambda v: eval_sh(active_deg, v, coeffs))(viewdirs)
             rgbs = jnp.maximum(rgbs + 0.5, 0.0)  # (Bl, C/nt, 3)
@@ -428,7 +436,7 @@ def make_sharded_train_step(
                     c = jax.lax.psum(jnp.sum(mask.astype(err.dtype)), "tile")
                     return e / jnp.maximum(c, 1.0)
 
-                per_cam = jax.vmap(one_cam)(cams, depth_full)  # (Bl,)
+                per_cam = jax.vmap(one_cam)(vcams, depth_full)  # (Bl,)
                 loss_density = jax.lax.psum(jnp.sum(per_cam), "data") / B
                 loss = loss + gate * cfg.lambda_density * loss_density
                 aux["loss_density"] = loss_density
@@ -456,9 +464,20 @@ def make_sharded_train_step(
 
         c_col = c_shard * n_data
         probe0 = jnp.zeros((Bl, c_col, 2), jnp.float32)
-        (loss, aux), (grads, probe_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params, probe0)
+        pose_grad = None
+        if pose_deltas is not None:
+            (loss, aux), (grads, probe_grad, pose_grad) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(state.params, probe0, pose_deltas)
+            # Each device holds the partial d(loss)/d(delta) from its own
+            # splat column; the total per local camera is the psum over
+            # 'tile' (the loss/n_devices division already cancelled the
+            # check_vma=False psum-transpose factor, as for params).
+            pose_grad = jax.lax.psum(pose_grad, "tile")
+        else:
+            (loss, aux), (grads, probe_grad) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, probe0)
 
         # (6) sharded Adam + densification grad accumulator. probe_grad is
         # dL/d(screen xy) for this tile-column's splats under the local
@@ -506,11 +525,19 @@ def make_sharded_train_step(
                   "n_tile_dropped"):
             if k in aux:
                 metrics[k] = aux[k]
+        if pose_grad is not None:
+            # (B, 6) full-batch pose gradients, replicated (P() out_spec):
+            # camera b's row comes from its own data group, zeros elsewhere.
+            metrics["pose_grad"] = jax.lax.all_gather(
+                pose_grad, "data", axis=0, tiled=True
+            )
         return ShardedStepOutput(new_state, new_opt_state, metrics)
+
+    pose_opt = bool(cfg.pose_opt)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(state, opt_state, cams, gt, est_depth, step, key,
-                   density_probe=None):
+                   density_probe=None, pose_deltas=None):
         if interleave:
             # Row-permute targets so the contiguous 'tile' shard slices hold
             # the interleaved tile rows (band t <- global rows t, t+nt, ...).
@@ -532,8 +559,19 @@ def make_sharded_train_step(
             # Sample points sharded over 'tile', replicated over 'data'.
             in_specs.append(jax.tree.map(lambda _: P("tile"), density_probe))
             args.append(density_probe)
+        if pose_opt:
+            assert pose_deltas is not None, "pose_opt step needs (B, 6) deltas"
+            in_specs.append(P("data"))  # each data group's local cameras
+            args.append(pose_deltas)
+
+        def _dev(*a):  # route the statically-present optional args by name
+            base, rest = a[:7], list(a[7:])
+            dp = rest.pop(0) if use_density else None
+            pd = rest.pop(0) if pose_opt else None
+            return device_step(*base, dprobe=dp, pose_deltas=pd)
+
         fn = jax.shard_map(
-            device_step,
+            _dev,
             mesh=mesh,
             in_specs=tuple(in_specs),
             out_specs=ShardedStepOutput(_cap_specs(state), _cap_specs(opt_state), P()),

@@ -167,11 +167,28 @@ class MeshTrainer(Trainer):
             est = jnp.zeros((self.n_data, self.h, self.w), jnp.float32)
 
         self.key, sub = jax.random.split(self.key)
+        pose_kw = {}
+        slots = None
+        if self.cfg.pose_opt:
+            slots = [self._pose_slot(c) for c in cams]
+            pose_kw["pose_deltas"] = jnp.stack([
+                self.pose_deltas[s] if s is not None else jnp.zeros(6)
+                for s in slots
+            ])
         out = step_fn(
             self.state, self.opt_state, cam_batch, gt, est, self.step, sub,
-            density_probe=self.density_probe,
+            density_probe=self.density_probe, **pose_kw,
         )
         self.state, self.opt_state = out.state, out.opt_state
+        if slots is not None and "pose_grad" in out.metrics:
+            g = out.metrics.pop("pose_grad")  # (B, 6)
+            for b, s in enumerate(slots):
+                if s is not None:
+                    (self.pose_deltas, self._pose_m, self._pose_v,
+                     self._pose_cnt) = self._pose_adam(
+                        self.pose_deltas, self._pose_m, self._pose_v,
+                        self._pose_cnt, s, g[b], self.cfg.lr_pose,
+                    )
         self._post_step(out)  # shared host logic (see module docstring)
 
     def _maybe_checkpoint(self) -> None:

@@ -121,8 +121,13 @@ def compute_losses(
     img_height: int,
     img_width: int,
     density_probe=None,
+    pose_delta=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Total loss + aux dict; reference loss stack scripts/train.py:57-91."""
+    if pose_delta is not None:  # --pose-opt: refine the view by an SE(3) delta
+        from .cameras import apply_pose_delta
+
+        camera = apply_pose_delta(camera, pose_delta)
     rgb, extras = render(
         params,
         state.alive,
@@ -226,6 +231,7 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
         step: jax.Array,
         key: jax.Array,
         density_probe=None,
+        pose_delta=None,
     ) -> StepOutput:
         # SH degree warm-up: +1 every sh_increment_interval steps, capped
         # (train.py:49-50, model_gaussian.py:126-128).
@@ -238,12 +244,22 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
         background = jax.random.uniform(key, (3,))
 
         probe = jnp.zeros((state.capacity, 2), gt_image.dtype)
-        (loss, aux), (grads, probe_grad) = jax.value_and_grad(
-            compute_losses, argnums=(0, 1), has_aux=True
-        )(
-            state.params, probe, state, camera, gt_image, est_depth,
-            background, step, cfg, img_height, img_width, density_probe,
-        )
+        pose_grad = None
+        if cfg.pose_opt and pose_delta is not None:
+            (loss, aux), (grads, probe_grad, pose_grad) = jax.value_and_grad(
+                compute_losses, argnums=(0, 1, 12), has_aux=True
+            )(
+                state.params, probe, state, camera, gt_image, est_depth,
+                background, step, cfg, img_height, img_width, density_probe,
+                pose_delta,
+            )
+        else:
+            (loss, aux), (grads, probe_grad) = jax.value_and_grad(
+                compute_losses, argnums=(0, 1), has_aux=True
+            )(
+                state.params, probe, state, camera, gt_image, est_depth,
+                background, step, cfg, img_height, img_width, density_probe,
+            )
 
         updates, new_opt_state = optimizer.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -274,6 +290,8 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
                   "n_intersections", "n_dup_dropped", "n_tile_dropped"):
             if k in aux:
                 metrics[k] = aux[k]
+        if pose_grad is not None:
+            metrics["pose_grad"] = pose_grad  # (6,); host applies pose Adam
         return StepOutput(new_state, new_opt_state, metrics, aux["rgb"])
 
     return train_step

@@ -118,6 +118,51 @@ class Trainer:
         # dup_capacity, so the per-invocation budget compares against the
         # per-band share of the observed global intersection count).
         self._budget_bands = 1
+        # --pose-opt: per-camera SE(3) deltas + Adam moments, updated on the
+        # host from the step's pose_grad (6 floats/step — negligible
+        # dispatch). Slots are bound to the INITIAL camera set by name;
+        # cameras added later (e.g. diffusion synthetic views) train with
+        # fixed poses.
+        self.pose_deltas = None
+        if cfg.pose_opt:
+            n = max(len(scene.cameras), 1)
+            self._pose_slots = {
+                c.name or f"cam{i}": i for i, c in enumerate(scene.cameras)
+            }
+            self.pose_deltas = jnp.zeros((n, 6), jnp.float32)
+            self._pose_m = jnp.zeros((n, 6), jnp.float32)
+            self._pose_v = jnp.zeros((n, 6), jnp.float32)
+            self._pose_cnt = jnp.zeros((n,), jnp.int32)
+
+    def restore_pose_state(self, extras: dict) -> None:
+        """Resume the --pose-opt table from load_checkpoint_extras(path)."""
+        if self.pose_deltas is None or "pose_deltas" not in extras:
+            return
+        self.pose_deltas = jnp.asarray(extras["pose_deltas"])
+        self._pose_m = jnp.asarray(extras["pose_m"])
+        self._pose_v = jnp.asarray(extras["pose_v"])
+        self._pose_cnt = jnp.asarray(extras["pose_cnt"])
+
+    def _pose_slot(self, camera) -> Optional[int]:
+        if self.pose_deltas is None:
+            return None
+        return self._pose_slots.get(
+            camera.name or f"cam{self.scene.cameras.index(camera)}"
+        )
+
+    @staticmethod
+    @jax.jit
+    def _pose_adam(table, m, v, cnt, slot, g, lr):
+        """One Adam step on a single camera's (6,) delta (torch defaults)."""
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        c = cnt[slot] + 1
+        m_s = b1 * m[slot] + (1 - b1) * g
+        v_s = b2 * v[slot] + (1 - b2) * g * g
+        mhat = m_s / (1 - b1 ** c.astype(jnp.float32))
+        vhat = v_s / (1 - b2 ** c.astype(jnp.float32))
+        upd = -lr * mhat / (jnp.sqrt(vhat) + eps)
+        return (table.at[slot].add(upd), m.at[slot].set(m_s),
+                v.at[slot].set(v_s), cnt.at[slot].set(c))
 
     # -- jit cache -------------------------------------------------------------
 
@@ -267,12 +312,21 @@ class Trainer:
             est_depth = jnp.asarray(camera.estimated_depth)
 
         self.key, sub = jax.random.split(self.key)
+        slot = self._pose_slot(camera) if cfg.pose_opt else None
+        pose_delta = self.pose_deltas[slot] if slot is not None else None
         out = self._step_fn(h, w)(
             self.state, self.opt_state, camera.params(), gt, est_depth,
-            jnp.int32(self.step), sub, self.density_probe,
+            jnp.int32(self.step), sub, self.density_probe, pose_delta,
         )
         self.state, self.opt_state = out.state, out.opt_state
         self.last_rendered = out.rendered
+        if slot is not None and "pose_grad" in out.metrics:
+            g = out.metrics.pop("pose_grad")
+            (self.pose_deltas, self._pose_m, self._pose_v,
+             self._pose_cnt) = self._pose_adam(
+                self.pose_deltas, self._pose_m, self._pose_v, self._pose_cnt,
+                slot, g, cfg.lr_pose,
+            )
         self._post_step(out)
 
     def _post_step(self, out) -> None:
@@ -310,7 +364,13 @@ class Trainer:
             from .io.checkpoint import save_checkpoint
 
             path = f"{cfg.checkpoint_dir}/{self._timestamp}-{self.step}.npz"
-            save_checkpoint(path, self.state, self.opt_state, self.step, self.key)
+            extras = None
+            if self.pose_deltas is not None:
+                extras = {"pose_deltas": self.pose_deltas,
+                          "pose_m": self._pose_m, "pose_v": self._pose_v,
+                          "pose_cnt": self._pose_cnt}
+            save_checkpoint(path, self.state, self.opt_state, self.step,
+                            self.key, extras=extras)
             log.info("saved checkpoint %s", path)
 
     # -- failure detection / rollback ------------------------------------------
@@ -507,7 +567,15 @@ class Trainer:
                 )
 
             self._step_fns[key] = render_fn
+        cam_params = camera.params()
+        slot = self._pose_slot(camera)
+        if slot is not None:  # --pose-opt: eval/viewer uses refined poses
+            from .cameras import apply_pose_delta
+
+            cam_params = jax.jit(apply_pose_delta)(
+                cam_params, self.pose_deltas[slot]
+            )
         return self._step_fns[key](
-            self.state.params, self.state.alive, camera.params(),
+            self.state.params, self.state.alive, cam_params,
             self.state.active_sh_degree, bg,
         )
