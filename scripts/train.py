@@ -134,7 +134,7 @@ async def main() -> None:
                               mesh=mesh)
     else:
         trainer = Trainer(cfg, scene, state, opt_state, start_step, rng_key)
-    if cfg.load_checkpoint and cfg.pose_opt:
+    if cfg.load_checkpoint and (cfg.pose_opt or cfg.app_opt):
         from tinysplat_tpu.io.checkpoint import load_checkpoint_extras
 
         trainer.restore_pose_state(load_checkpoint_extras(cfg.load_checkpoint))

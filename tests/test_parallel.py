@@ -50,10 +50,11 @@ def _setup(sh_degree=2):
 
 def _run(mesh_shape, state, cam_batch, gt, est, steps=2, rasterizer="tiled",
          density_probe=None, antialiased=False, densify_strategy="default",
-         pose_deltas=None):
+         pose_deltas=None, app_params=None):
     cfg = Config(
         rasterizer=rasterizer, sh_degree=2, antialiased=antialiased,
         densify_strategy=densify_strategy, pose_opt=pose_deltas is not None,
+        app_opt=app_params is not None,
         regularize_opacity=True, regularize_opacity_start=0, regularize_opacity_end=10,
         regularize_depth=True, regularize_depth_start=0, regularize_depth_end=10,
         regularize_density=density_probe is not None,
@@ -80,6 +81,8 @@ def _run(mesh_shape, state, cam_batch, gt, est, steps=2, rasterizer="tiled",
     kw = {}
     if pose_deltas is not None:
         kw["pose_deltas"] = jnp.asarray(pose_deltas)
+    if app_params is not None:
+        kw["app_params"] = jnp.asarray(app_params)
     for i in range(steps):
         out = fn(st, op, cam_batch, gt, est, i, jax.random.PRNGKey(100 + i),
                  density_probe=probe, **kw)
@@ -156,11 +159,16 @@ def test_pose_grad_matches_single_device():
     deltas = np.asarray(
         [[0.01, -0.02, 0.005, 0.01, 0.0, -0.01],
          [-0.005, 0.01, 0.02, 0.0, 0.01, 0.005]], np.float32)
-    st1, m1 = _run((1, 1), state, cam_batch, gt, est, pose_deltas=deltas)
-    stN, mN = _run((2, 2), state, cam_batch, gt, est, pose_deltas=deltas)
-    np.testing.assert_allclose(m1["pose_grad"], mN["pose_grad"],
-                               rtol=2e-3, atol=1e-6)
-    assert np.abs(m1["pose_grad"]).sum() > 0
+    rng = np.random.default_rng(9)
+    app = (0.05 * rng.normal(size=(B, 12))).astype(np.float32)
+    st1, m1 = _run((1, 1), state, cam_batch, gt, est, pose_deltas=deltas,
+                   app_params=app)
+    stN, mN = _run((2, 2), state, cam_batch, gt, est, pose_deltas=deltas,
+                   app_params=app)
+    for k in ("pose_grad", "app_grad"):
+        np.testing.assert_allclose(m1[k], mN[k], rtol=2e-3, atol=1e-6,
+                                   err_msg=k)
+        assert np.abs(m1[k]).sum() > 0
     for k in ("loss", "psnr"):
         np.testing.assert_allclose(m1[k], mN[k], rtol=2e-4, err_msg=k)
 

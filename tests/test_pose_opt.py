@@ -123,3 +123,90 @@ def test_pose_recovery_end_to_end():
     assert e1 < 0.5 * e0, (e0, e1)
     # splats must not have moved (their LRs are zero)
     np.testing.assert_allclose(np.asarray(tr.state.params.means), means0, atol=1e-6)
+
+
+def test_apply_appearance_identity_and_math():
+    from tinysplat_tpu.train import apply_appearance
+
+    rng = np.random.default_rng(2)
+    rgb = jnp.asarray(rng.uniform(0, 1, size=(8, 8, 3)).astype(np.float32))
+    out = apply_appearance(rgb, jnp.zeros(12))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(rgb), atol=1e-7)
+    # known transform: rgb' = clip(rgb @ (I+A)^T + b)
+    app = jnp.asarray(np.concatenate([
+        np.diag([-0.3, -0.3, -0.3]).reshape(-1), [0.05, 0.05, 0.05]
+    ]).astype(np.float32))
+    out = apply_appearance(rgb, app)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.clip(np.asarray(rgb) * 0.7 + 0.05, 0, 1),
+                               atol=1e-6)
+
+
+def test_app_opt_recovers_exposure():
+    """GT images are exposure-shifted copies of the model's own renders;
+    with all splat LRs zero, only the per-camera affine appearance params
+    can close the gap — they must converge to the applied shift."""
+    import jax.numpy as jnp_
+    from tinysplat_tpu.data.synthetic import orbit_cameras, random_gaussian_cloud
+    from tinysplat_tpu.render import render
+    from tinysplat_tpu.scene import Scene
+
+    size = 48
+    cams = orbit_cameras(2, width=size, height=size)
+    # Opaque, frame-covering cloud: training uses RANDOM backgrounds
+    # (reference train.py:51), so any visible background would make the
+    # exposure fit chase a moving target. Big near-opaque splats -> the
+    # residual transmittance is ~0 everywhere and only splat color matters.
+    means, log_scales, quats, colors, opac = random_gaussian_cloud(300, seed=7)
+    # Enclosing dome of fat opaque splats (quality_bench's trick) so every
+    # ray terminates on geometry.
+    rng0 = np.random.default_rng(11)
+    sph = rng0.normal(size=(500, 3))
+    sph = 6.0 * sph / np.linalg.norm(sph, axis=1, keepdims=True)
+    all_means = np.concatenate([means, sph.astype(np.float32)])
+    all_colors = np.concatenate(
+        [colors, rng0.uniform(0.2, 0.9, size=(500, 3)).astype(np.float32)])
+    n = 800
+    state = init_from_pcd(all_means, all_colors * 255, sh_degree=1, capacity=1024)
+    sc = np.full((1024, 3), -10.0, np.float32)
+    sc[:300] = log_scales + 0.8
+    sc[300:800] = np.log(1.6)
+    op = np.full((1024, 1), -20.0, np.float32)
+    op[:n] = 4.0
+    state = dataclasses.replace(
+        state,
+        params=dataclasses.replace(
+            state.params,
+            scales=jnp_.asarray(sc),
+            opacities=jnp_.asarray(op),
+        ),
+    )
+    for cam in cams:
+        rgb, extras = render(state.params, state.alive, cam.params(), size,
+                             size, jnp_.int32(1), jnp_.zeros(3),
+                             rasterizer="dense")
+        assert float(extras["alpha"].min()) > 0.99, "fixture must cover frame"
+        cam._image = np.clip(np.asarray(rgb) * 0.7 + 0.05, 0, 1)
+    scene = Scene(cams)
+
+    cfg = Config(rasterizer="dense", sh_degree=1, max_iter=100,
+                 warmup_densify=10**9, interval_opacity_reset=0,
+                 app_opt=True, lr_app=2.5e-2,
+                 lr_means=0.0, lr_colors_dc=0.0, lr_colors_rest=0.0,
+                 lr_scales=0.0, lr_quats=0.0, lr_opacities=0.0)
+    tr = Trainer(cfg, scene, jax.tree.map(jnp.copy, state))
+    tr.run(100)
+    # The affine fit is not unique parameter-wise (off-diagonals/bias trade
+    # against the diagonal on correlated scene colors); assert the
+    # functional contract: the compensated render matches the shifted GT
+    # far better than the raw render does.
+    from tinysplat_tpu.train import apply_appearance
+
+    for i, cam in enumerate(cams):
+        rgb, _ = render(tr.state.params, tr.state.alive, cam.params(), size,
+                        size, jnp_.int32(1), jnp_.zeros(3), rasterizer="dense")
+        gt = jnp_.asarray(cam.get_original_image((size, size)))
+        e_raw = float(jnp.mean(jnp.abs(rgb - gt)))
+        e_fit = float(jnp.mean(jnp.abs(
+            apply_appearance(rgb, tr.app_params[i]) - gt)))
+        assert e_fit < 0.25 * e_raw, (i, e_raw, e_fit)

@@ -135,6 +135,12 @@ class Config:
     # splats through the rendering gradient. See cameras.apply_pose_delta.
     pose_opt: bool = False
     lr_pose: float = 1e-4
+    # Per-camera appearance/exposure optimization (beyond-reference): a
+    # learnable affine color transform applied to the RENDERED image inside
+    # the training loss only, absorbing per-view exposure/white-balance so
+    # the splats don't have to (real captures with auto-exposure).
+    app_opt: bool = False
+    lr_app: float = 1e-3
     mcmc_cap: int = 0  # target live-splat cap (0 = the capacity)
     mcmc_min_opacity: float = 0.005  # below this, a splat is relocated
     mcmc_growth_factor: float = 1.05  # live-count growth per refine pass

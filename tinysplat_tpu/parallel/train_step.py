@@ -281,7 +281,7 @@ def make_sharded_train_step(
         return jnp.swapaxes(a, 1, 2).reshape(-1, H, W)
 
     def device_step(state: GaussianState, opt_state, cams, gt, est_depth, step, key,
-                    dprobe=None, pose_deltas=None):
+                    dprobe=None, pose_deltas=None, app_params=None):
         # state leaves: (C/ndev, ...); cams leaves: (Bl, ...);
         # gt: (Bl, Hl, W, 3); est_depth: (Bl, Hl, W).
         t_idx = jax.lax.axis_index("tile")
@@ -297,7 +297,7 @@ def make_sharded_train_step(
 
         alive_col = jax.lax.all_gather(state.alive, "data", tiled=True)
 
-        def loss_fn(params_shard: GaussianParams, probe, pose_d=None):
+        def loss_fn(params_shard: GaussianParams, probe, pose_d=None, app_p=None):
             # (0) --pose-opt: refine the local cameras by their SE(3) deltas
             # (differentiated; same math as the single-device step).
             if pose_d is not None:
@@ -353,6 +353,10 @@ def make_sharded_train_step(
             )
             rgb = jnp.minimum(img4[..., :3], 1.0)  # (Bl, Hl, W, 3)
             depth = img4[..., 3]
+            if app_p is not None:  # --app-opt: per-camera affine exposure
+                from ..train import apply_appearance
+
+                rgb = jax.vmap(apply_appearance)(rgb, app_p)
 
             # (5) losses — every psum spans the full mesh, so the scalar is
             # replicated and equals the global batch-mean loss.
@@ -464,20 +468,21 @@ def make_sharded_train_step(
 
         c_col = c_shard * n_data
         probe0 = jnp.zeros((Bl, c_col, 2), jnp.float32)
-        pose_grad = None
-        if pose_deltas is not None:
-            (loss, aux), (grads, probe_grad, pose_grad) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2), has_aux=True
-            )(state.params, probe0, pose_deltas)
-            # Each device holds the partial d(loss)/d(delta) from its own
-            # splat column; the total per local camera is the psum over
-            # 'tile' (the loss/n_devices division already cancelled the
-            # check_vma=False psum-transpose factor, as for params).
-            pose_grad = jax.lax.psum(pose_grad, "tile")
-        else:
-            (loss, aux), (grads, probe_grad) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(state.params, probe0)
+        argnums = ((0, 1) + ((2,) if pose_deltas is not None else ())
+                   + ((3,) if app_params is not None else ()))
+        (loss, aux), gs = jax.value_and_grad(
+            loss_fn, argnums=argnums, has_aux=True
+        )(state.params, probe0, pose_deltas, app_params)
+        grads, probe_grad = gs[0], gs[1]
+        rest = list(gs[2:])
+        # Each device holds the partial d(loss)/d(pose or app) from its own
+        # splat column / pixel band; the total per local camera is the psum
+        # over 'tile' (the loss/n_devices division already cancelled the
+        # check_vma=False psum-transpose factor, as for params).
+        pose_grad = (jax.lax.psum(rest.pop(0), "tile")
+                     if pose_deltas is not None else None)
+        app_grad = (jax.lax.psum(rest.pop(0), "tile")
+                    if app_params is not None else None)
 
         # (6) sharded Adam + densification grad accumulator. probe_grad is
         # dL/d(screen xy) for this tile-column's splats under the local
@@ -531,13 +536,18 @@ def make_sharded_train_step(
             metrics["pose_grad"] = jax.lax.all_gather(
                 pose_grad, "data", axis=0, tiled=True
             )
+        if app_grad is not None:
+            metrics["app_grad"] = jax.lax.all_gather(
+                app_grad, "data", axis=0, tiled=True
+            )
         return ShardedStepOutput(new_state, new_opt_state, metrics)
 
     pose_opt = bool(cfg.pose_opt)
+    app_opt = bool(cfg.app_opt)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(state, opt_state, cams, gt, est_depth, step, key,
-                   density_probe=None, pose_deltas=None):
+                   density_probe=None, pose_deltas=None, app_params=None):
         if interleave:
             # Row-permute targets so the contiguous 'tile' shard slices hold
             # the interleaved tile rows (band t <- global rows t, t+nt, ...).
@@ -563,12 +573,17 @@ def make_sharded_train_step(
             assert pose_deltas is not None, "pose_opt step needs (B, 6) deltas"
             in_specs.append(P("data"))  # each data group's local cameras
             args.append(pose_deltas)
+        if app_opt:
+            assert app_params is not None, "app_opt step needs (B, 12) params"
+            in_specs.append(P("data"))
+            args.append(app_params)
 
         def _dev(*a):  # route the statically-present optional args by name
             base, rest = a[:7], list(a[7:])
             dp = rest.pop(0) if use_density else None
             pd = rest.pop(0) if pose_opt else None
-            return device_step(*base, dprobe=dp, pose_deltas=pd)
+            ap = rest.pop(0) if app_opt else None
+            return device_step(*base, dprobe=dp, pose_deltas=pd, app_params=ap)
 
         fn = jax.shard_map(
             _dev,

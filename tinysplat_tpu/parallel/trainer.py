@@ -169,10 +169,16 @@ class MeshTrainer(Trainer):
         self.key, sub = jax.random.split(self.key)
         pose_kw = {}
         slots = None
-        if self.cfg.pose_opt:
+        if self.cfg.pose_opt or self.cfg.app_opt:
             slots = [self._pose_slot(c) for c in cams]
+        if self.cfg.pose_opt:
             pose_kw["pose_deltas"] = jnp.stack([
                 self.pose_deltas[s] if s is not None else jnp.zeros(6)
+                for s in slots
+            ])
+        if self.cfg.app_opt:
+            pose_kw["app_params"] = jnp.stack([
+                self.app_params[s] if s is not None else jnp.zeros(12)
                 for s in slots
             ])
         out = step_fn(
@@ -188,6 +194,15 @@ class MeshTrainer(Trainer):
                      self._pose_cnt) = self._pose_adam(
                         self.pose_deltas, self._pose_m, self._pose_v,
                         self._pose_cnt, s, g[b], self.cfg.lr_pose,
+                    )
+        if slots is not None and "app_grad" in out.metrics:
+            g = out.metrics.pop("app_grad")  # (B, 12)
+            for b, s in enumerate(slots):
+                if s is not None:
+                    (self.app_params, self._app_m, self._app_v,
+                     self._app_cnt) = self._pose_adam(
+                        self.app_params, self._app_m, self._app_v,
+                        self._app_cnt, s, g[b], self.cfg.lr_app,
                     )
         self._post_step(out)  # shared host logic (see module docstring)
 

@@ -101,6 +101,21 @@ class StepOutput(NamedTuple):
     rendered: jax.Array  # (H, W, 3) for viewer/metrics reuse
 
 
+def apply_appearance(rgb: jax.Array, app_params: jax.Array) -> jax.Array:
+    """Per-camera affine exposure compensation (--app-opt, beyond-reference).
+
+    app_params (12,) = flattened 3x3 delta-from-identity + 3 bias:
+    rgb' = rgb @ (I + A)^T + b, clipped to [0, 1]. Zero params are the
+    exact identity, so enabling the flag never changes the initial loss.
+    Applied to the RENDERED image inside the training loss only — the
+    splat colors stay in a canonical exposure; per-view white-balance /
+    auto-exposure drift is absorbed by the 12 scalars instead.
+    """
+    A = jnp.eye(3, dtype=rgb.dtype) + app_params[:9].reshape(3, 3)
+    b = app_params[9:]
+    return jnp.clip(rgb @ A.T + b, 0.0, 1.0)
+
+
 def _schedule_gate(active: bool, start: int, stop: int, step: jax.Array) -> jax.Array:
     """Traced window gate; semantics of reference Scheduler (train.py:152-159)."""
     if not active:
@@ -122,6 +137,7 @@ def compute_losses(
     img_width: int,
     density_probe=None,
     pose_delta=None,
+    app_params=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Total loss + aux dict; reference loss stack scripts/train.py:57-91."""
     if pose_delta is not None:  # --pose-opt: refine the view by an SE(3) delta
@@ -146,6 +162,10 @@ def compute_losses(
         grad_reduce=cfg.grad_reduce,
         antialiased=cfg.antialiased,
     )
+    if app_params is not None:
+        # --app-opt: per-camera affine exposure compensation ON THE RENDER,
+        # inside the loss only. Zero params = exact identity.
+        rgb = apply_appearance(rgb, app_params)
     loss_l1 = jnp.mean(jnp.abs(rgb - gt_image))
     loss_ssim = 1.0 - ssim(rgb, gt_image)
     loss = (1.0 - cfg.lambda_dssim) * loss_l1 + cfg.lambda_dssim * loss_ssim
@@ -232,6 +252,7 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
         key: jax.Array,
         density_probe=None,
         pose_delta=None,
+        app_params=None,
     ) -> StepOutput:
         # SH degree warm-up: +1 every sh_increment_interval steps, capped
         # (train.py:49-50, model_gaussian.py:126-128).
@@ -244,22 +265,20 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
         background = jax.random.uniform(key, (3,))
 
         probe = jnp.zeros((state.capacity, 2), gt_image.dtype)
-        pose_grad = None
-        if cfg.pose_opt and pose_delta is not None:
-            (loss, aux), (grads, probe_grad, pose_grad) = jax.value_and_grad(
-                compute_losses, argnums=(0, 1, 12), has_aux=True
-            )(
-                state.params, probe, state, camera, gt_image, est_depth,
-                background, step, cfg, img_height, img_width, density_probe,
-                pose_delta,
-            )
-        else:
-            (loss, aux), (grads, probe_grad) = jax.value_and_grad(
-                compute_losses, argnums=(0, 1), has_aux=True
-            )(
-                state.params, probe, state, camera, gt_image, est_depth,
-                background, step, cfg, img_height, img_width, density_probe,
-            )
+        use_pose = cfg.pose_opt and pose_delta is not None
+        use_app = cfg.app_opt and app_params is not None
+        argnums = (0, 1) + ((12,) if use_pose else ()) + ((13,) if use_app else ())
+        (loss, aux), gs = jax.value_and_grad(
+            compute_losses, argnums=argnums, has_aux=True
+        )(
+            state.params, probe, state, camera, gt_image, est_depth,
+            background, step, cfg, img_height, img_width, density_probe,
+            pose_delta if use_pose else None, app_params if use_app else None,
+        )
+        grads, probe_grad = gs[0], gs[1]
+        rest = list(gs[2:])
+        pose_grad = rest.pop(0) if use_pose else None
+        app_grad = rest.pop(0) if use_app else None
 
         updates, new_opt_state = optimizer.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -292,6 +311,8 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
                 metrics[k] = aux[k]
         if pose_grad is not None:
             metrics["pose_grad"] = pose_grad  # (6,); host applies pose Adam
+        if app_grad is not None:
+            metrics["app_grad"] = app_grad  # (12,); host applies app Adam
         return StepOutput(new_state, new_opt_state, metrics, aux["rgb"])
 
     return train_step

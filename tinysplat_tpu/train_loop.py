@@ -124,27 +124,39 @@ class Trainer:
         # cameras added later (e.g. diffusion synthetic views) train with
         # fixed poses.
         self.pose_deltas = None
-        if cfg.pose_opt:
+        self.app_params = None
+        if cfg.pose_opt or cfg.app_opt:
             n = max(len(scene.cameras), 1)
             self._pose_slots = {
                 c.name or f"cam{i}": i for i, c in enumerate(scene.cameras)
             }
+        if cfg.pose_opt:
             self.pose_deltas = jnp.zeros((n, 6), jnp.float32)
             self._pose_m = jnp.zeros((n, 6), jnp.float32)
             self._pose_v = jnp.zeros((n, 6), jnp.float32)
             self._pose_cnt = jnp.zeros((n,), jnp.int32)
+        if cfg.app_opt:  # --app-opt: per-camera affine exposure (train.py)
+            self.app_params = jnp.zeros((n, 12), jnp.float32)
+            self._app_m = jnp.zeros((n, 12), jnp.float32)
+            self._app_v = jnp.zeros((n, 12), jnp.float32)
+            self._app_cnt = jnp.zeros((n,), jnp.int32)
 
     def restore_pose_state(self, extras: dict) -> None:
-        """Resume the --pose-opt table from load_checkpoint_extras(path)."""
-        if self.pose_deltas is None or "pose_deltas" not in extras:
-            return
-        self.pose_deltas = jnp.asarray(extras["pose_deltas"])
-        self._pose_m = jnp.asarray(extras["pose_m"])
-        self._pose_v = jnp.asarray(extras["pose_v"])
-        self._pose_cnt = jnp.asarray(extras["pose_cnt"])
+        """Resume the --pose-opt/--app-opt tables from
+        load_checkpoint_extras(path)."""
+        if self.pose_deltas is not None and "pose_deltas" in extras:
+            self.pose_deltas = jnp.asarray(extras["pose_deltas"])
+            self._pose_m = jnp.asarray(extras["pose_m"])
+            self._pose_v = jnp.asarray(extras["pose_v"])
+            self._pose_cnt = jnp.asarray(extras["pose_cnt"])
+        if self.app_params is not None and "app_params" in extras:
+            self.app_params = jnp.asarray(extras["app_params"])
+            self._app_m = jnp.asarray(extras["app_m"])
+            self._app_v = jnp.asarray(extras["app_v"])
+            self._app_cnt = jnp.asarray(extras["app_cnt"])
 
     def _pose_slot(self, camera) -> Optional[int]:
-        if self.pose_deltas is None:
+        if self.pose_deltas is None and self.app_params is None:
             return None
         return self._pose_slots.get(
             camera.name or f"cam{self.scene.cameras.index(camera)}"
@@ -312,11 +324,15 @@ class Trainer:
             est_depth = jnp.asarray(camera.estimated_depth)
 
         self.key, sub = jax.random.split(self.key)
-        slot = self._pose_slot(camera) if cfg.pose_opt else None
-        pose_delta = self.pose_deltas[slot] if slot is not None else None
+        slot = self._pose_slot(camera)
+        pose_delta = (self.pose_deltas[slot]
+                      if cfg.pose_opt and slot is not None else None)
+        app_param = (self.app_params[slot]
+                     if cfg.app_opt and slot is not None else None)
         out = self._step_fn(h, w)(
             self.state, self.opt_state, camera.params(), gt, est_depth,
             jnp.int32(self.step), sub, self.density_probe, pose_delta,
+            app_param,
         )
         self.state, self.opt_state = out.state, out.opt_state
         self.last_rendered = out.rendered
@@ -326,6 +342,13 @@ class Trainer:
              self._pose_cnt) = self._pose_adam(
                 self.pose_deltas, self._pose_m, self._pose_v, self._pose_cnt,
                 slot, g, cfg.lr_pose,
+            )
+        if slot is not None and "app_grad" in out.metrics:
+            g = out.metrics.pop("app_grad")
+            (self.app_params, self._app_m, self._app_v,
+             self._app_cnt) = self._pose_adam(
+                self.app_params, self._app_m, self._app_v, self._app_cnt,
+                slot, g, cfg.lr_app,
             )
         self._post_step(out)
 
@@ -364,11 +387,16 @@ class Trainer:
             from .io.checkpoint import save_checkpoint
 
             path = f"{cfg.checkpoint_dir}/{self._timestamp}-{self.step}.npz"
-            extras = None
+            extras = {}
             if self.pose_deltas is not None:
-                extras = {"pose_deltas": self.pose_deltas,
-                          "pose_m": self._pose_m, "pose_v": self._pose_v,
-                          "pose_cnt": self._pose_cnt}
+                extras.update({"pose_deltas": self.pose_deltas,
+                               "pose_m": self._pose_m, "pose_v": self._pose_v,
+                               "pose_cnt": self._pose_cnt})
+            if self.app_params is not None:
+                extras.update({"app_params": self.app_params,
+                               "app_m": self._app_m, "app_v": self._app_v,
+                               "app_cnt": self._app_cnt})
+            extras = extras or None
             save_checkpoint(path, self.state, self.opt_state, self.step,
                             self.key, extras=extras)
             log.info("saved checkpoint %s", path)
