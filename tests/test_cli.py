@@ -85,3 +85,34 @@ def test_export_cli_end_to_end(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     content = open(out).read()
     assert content.count("\nf ") > 10
+
+
+def test_render_path_cli(tmp_path):
+    """scripts/render_path.py: checkpoint -> turntable PNG frames
+    (beyond-reference tooling; reference ships only train/export CLIs)."""
+    from tinysplat_tpu.io.checkpoint import save_checkpoint
+    from tinysplat_tpu.models.gaussians import init_from_pcd
+
+    rng = np.random.default_rng(1)
+    state = init_from_pcd(
+        rng.normal(size=(50, 3)).astype(np.float32) * 0.2,
+        rng.uniform(0, 255, size=(50, 3)).astype(np.float32),
+        sh_degree=1, capacity=64, opacity_init=0.9,
+    )
+    ck = str(tmp_path / "model.npz")
+    save_checkpoint(ck, state, None, step=10)
+    outdir = str(tmp_path / "frames")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "render_path.py"),
+         ck, outdir, "--frames", "3", "--width", "64", "--height", "48",
+         "--rasterizer", "tiled"],
+        capture_output=True, text=True, env=ENV, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import glob as _glob
+    frames = sorted(_glob.glob(os.path.join(outdir, "frame_*.png")))
+    assert len(frames) == 3
+    from PIL import Image
+    arr = np.asarray(Image.open(frames[0]))
+    assert arr.shape == (48, 64, 3)
+    assert arr.max() > 0  # something rendered

@@ -210,3 +210,33 @@ def test_app_opt_recovers_exposure():
         e_fit = float(jnp.mean(jnp.abs(
             apply_appearance(rgb, tr.app_params[i]) - gt)))
         assert e_fit < 0.25 * e_raw, (i, e_raw, e_fit)
+
+
+def test_pose_app_state_checkpoint_roundtrip(tmp_path):
+    """--pose-opt/--app-opt tables ride checkpoints via the extras channel
+    and restore into a fresh trainer (resume equivalence for the new
+    optimizer state)."""
+    from tinysplat_tpu.io.checkpoint import (
+        load_checkpoint, load_checkpoint_extras, save_checkpoint)
+
+    scene = _toy_scene(n_cams=2, size=48)
+    cfg = Config(rasterizer="dense", sh_degree=1, max_iter=4,
+                 warmup_densify=10**9, interval_opacity_reset=0,
+                 pose_opt=True, app_opt=True, save_checkpoints=True,
+                 checkpoint_interval=4, checkpoint_dir=str(tmp_path))
+    pcd = synthetic_pcd(60, seed=3)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=128)
+    tr = Trainer(cfg, scene, state)
+    tr.run(4)
+    assert float(jnp.abs(tr.pose_deltas).sum()) > 0  # actually trained
+    import glob
+    path = sorted(glob.glob(str(tmp_path / "*.npz")))[-1]
+    st2, opt2, step2, key2 = load_checkpoint(path, cfg)
+    tr2 = Trainer(cfg, scene, st2, opt2, step2, key2)
+    tr2.restore_pose_state(load_checkpoint_extras(path))
+    np.testing.assert_allclose(np.asarray(tr2.pose_deltas),
+                               np.asarray(tr.pose_deltas))
+    np.testing.assert_allclose(np.asarray(tr2.app_params),
+                               np.asarray(tr.app_params))
+    np.testing.assert_allclose(np.asarray(tr2._pose_m), np.asarray(tr._pose_m))
+    np.testing.assert_allclose(np.asarray(tr2._app_v), np.asarray(tr._app_v))
