@@ -174,3 +174,26 @@ def test_mesh_trainer_render_camera_uses_sharded_renderer():
     )
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref_rgb),
                                atol=2e-5)
+
+
+def test_mesh_trainer_mcmc_strategy():
+    """--densify-strategy mcmc on the mesh path: the shared _maybe_densify
+    hook runs relocate_and_grow on the FSDP-sharded state (GSPMD) and the
+    sharded step injects the per-shard noise slice — live count grows, no
+    NaNs, no resharding needed (capacity fixed by design)."""
+    scene = _toy_scene(rendered_gt=False)
+    cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=1,
+                 densify_end=100, densify_strategy="mcmc",
+                 mcmc_growth_factor=1.4, interval_opacity_reset=0,
+                 warmup_grad=0, lr_means_final=1.6e-6)
+    pcd = synthetic_pcd(48, seed=2)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=128)
+    n0 = int(state.num_live())
+    mesh = make_mesh(2, 2)
+    tr = MeshTrainer(cfg, scene, state, mesh=mesh)
+    tr.interval_densify = 2
+    tr.run(5)
+    assert tr.state.capacity == 128  # MCMC never grows capacity
+    n1 = int(jax.device_get(tr.state.num_live()))
+    assert n1 > n0
+    assert np.isfinite(np.asarray(tr.state.params.means)).all()

@@ -141,6 +141,13 @@ class Config:
     # the splats don't have to (real captures with auto-exposure).
     app_opt: bool = False
     lr_app: float = 1e-3
+    # Coarse-to-fine training (beyond-reference): start at c2f_start_scale
+    # resolution and double stagewise to full by step c2f_end (0 = half of
+    # max_iter). Stabilizes few-view optimization and makes early steps
+    # cheap; one extra XLA compile per stage.
+    coarse_to_fine: bool = False
+    c2f_start_scale: float = 0.25
+    c2f_end: int = 0
     mcmc_cap: int = 0  # target live-splat cap (0 = the capacity)
     mcmc_min_opacity: float = 0.005  # below this, a splat is relocated
     mcmc_growth_factor: float = 1.05  # live-count growth per refine pass

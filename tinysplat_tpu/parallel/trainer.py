@@ -101,12 +101,17 @@ class MeshTrainer(Trainer):
             self._warned_no_depth = True
         return have
 
-    def _get_sharded_step(self):
-        key = (self.density_probe is not None, self._use_depth())
+    def _c2f_height_quantum(self) -> int:
+        # Bands: H must split into n_tile bands of whole 16px tile rows.
+        return self.n_tile * self.cfg.tile_size
+
+    def _get_sharded_step(self, h=None, w=None):
+        h, w = h or self.h, w or self.w
+        key = (self.density_probe is not None, self._use_depth(), h, w)
         if self._sharded_step is None or self._sharded_step_key != key:
-            use_density, use_depth = key
+            use_density, use_depth = key[0], key[1]
             self._sharded_step = make_sharded_train_step(
-                self.cfg, self.h, self.w, self.n_data, self.mesh,
+                self.cfg, h, w, self.n_data, self.mesh,
                 self.optimizer, use_depth=use_depth, use_density=use_density,
             )
             self._sharded_step_key = key
@@ -153,18 +158,22 @@ class MeshTrainer(Trainer):
 
         cams: List = [self.scene.get_random_camera(self.step * self.n_data + i)
                       for i in range(self.n_data)]
+        h, w = self._c2f_dims(cams[0])  # full res unless coarse_to_fine
         cam_batch = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[c.params() for c in cams]
+            lambda *xs: jnp.stack(xs),
+            *[self._scale_cam_params(c.params(), c, h, w) for c in cams]
         )
         # Per-camera frames come from the HBM-pinned cache (a 20 MB per-step
         # host->device upload dominates tunneled step time, train_loop.py
         # _device_image); the stack runs on device.
-        gt = jnp.stack([self._device_image(c, self.w, self.h) for c in cams])
-        step_fn = self._get_sharded_step()  # may flip use_depth before est is built
+        gt = jnp.stack([self._device_image(c, w, h) for c in cams])
+        step_fn = self._get_sharded_step(h, w)  # may flip use_depth first
         if self._sharded_step_key[1]:
             est = jnp.stack([jnp.asarray(c.estimated_depth) for c in cams])
+            if est.shape[1:] != (h, w):  # coarse-to-fine stage
+                est = jax.image.resize(est, (est.shape[0], h, w), "linear")
         else:
-            est = jnp.zeros((self.n_data, self.h, self.w), jnp.float32)
+            est = jnp.zeros((self.n_data, h, w), jnp.float32)
 
         self.key, sub = jax.random.split(self.key)
         pose_kw = {}

@@ -19,10 +19,12 @@ step (train.py / parallel/train_step.py):
 """
 from __future__ import annotations
 
+import dataclasses
 import logging
+import math
 import time
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -193,6 +195,47 @@ class Trainer:
             self._image_cache[key] = img
         return img
 
+    # -- coarse-to-fine resolution schedule --------------------------------------
+
+    def _c2f_height_quantum(self) -> int:
+        """Height snap for reduced resolutions (MeshTrainer: n_tile bands
+        of whole 16px tile rows)."""
+        return self.cfg.tile_size
+
+    def _c2f_scale(self) -> float:
+        cfg = self.cfg
+        if not cfg.coarse_to_fine:
+            return 1.0
+        end = cfg.c2f_end or max(cfg.max_iter // 2, 1)
+        if self.step >= end:
+            return 1.0
+        n_stages = max(1, math.ceil(math.log2(1.0 / cfg.c2f_start_scale)))
+        stage_len = max(1, end // n_stages)
+        return min(1.0, cfg.c2f_start_scale * (2 ** (self.step // stage_len)))
+
+    def _c2f_dims(self, camera) -> Tuple[int, int]:
+        """(h, w) to train at this step — full res, or a tile-snapped
+        fraction during the coarse stages."""
+        s = self._c2f_scale()
+        if s >= 1.0:
+            return camera.height, camera.width
+        qh, qw = self._c2f_height_quantum(), self.cfg.tile_size
+        h = max(qh, int(camera.height * s) // qh * qh)
+        w = max(qw, int(camera.width * s) // qw * qw)
+        return h, w
+
+    @staticmethod
+    def _scale_cam_params(cam_params, camera, h: int, w: int):
+        """Rescale pixel-space intrinsics to a reduced training resolution
+        (the FOV-based projection matrix is resolution-independent)."""
+        if (h, w) == (camera.height, camera.width):
+            return cam_params
+        return dataclasses.replace(
+            cam_params,
+            fx=cam_params.fx * (w / camera.width),
+            fy=cam_params.fy * (h / camera.height),
+        )
+
     def _step_fn(self, h: int, w: int):
         key = (h, w)
         if key not in self._step_fns:
@@ -317,11 +360,13 @@ class Trainer:
         self._maybe_refresh_diffusion_views()
 
         camera = self.scene.get_random_camera(self.step)
-        h, w = camera.height, camera.width
+        h, w = self._c2f_dims(camera)
         gt = self._device_image(camera, w, h)
         est_depth = None
         if cfg.regularize_depth and camera.estimated_depth is not None:
             est_depth = jnp.asarray(camera.estimated_depth)
+            if est_depth.shape != (h, w):  # coarse-to-fine stage
+                est_depth = jax.image.resize(est_depth, (h, w), "linear")
 
         self.key, sub = jax.random.split(self.key)
         slot = self._pose_slot(camera)
@@ -329,8 +374,9 @@ class Trainer:
                       if cfg.pose_opt and slot is not None else None)
         app_param = (self.app_params[slot]
                      if cfg.app_opt and slot is not None else None)
+        cam_params = self._scale_cam_params(camera.params(), camera, h, w)
         out = self._step_fn(h, w)(
-            self.state, self.opt_state, camera.params(), gt, est_depth,
+            self.state, self.opt_state, cam_params, gt, est_depth,
             jnp.int32(self.step), sub, self.density_probe, pose_delta,
             app_param,
         )
