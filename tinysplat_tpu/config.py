@@ -148,6 +148,12 @@ class Config:
     coarse_to_fine: bool = False
     c2f_start_scale: float = 0.25
     c2f_end: int = 0
+    # Periodic capacity compaction (beyond-reference memory management):
+    # every compact_interval steps, repack live splats and shrink capacity
+    # to the next power of two >= live * compact_margin (0 disables). One
+    # recompile when it fires; reclaims HBM after heavy pruning.
+    compact_interval: int = 0
+    compact_margin: float = 2.0
     mcmc_cap: int = 0  # target live-splat cap (0 = the capacity)
     mcmc_min_opacity: float = 0.005  # below this, a splat is relocated
     mcmc_growth_factor: float = 1.05  # live-count growth per refine pass

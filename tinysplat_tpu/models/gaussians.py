@@ -206,6 +206,55 @@ def from_state_dict(sd: Dict[str, np.ndarray], capacity: Optional[int] = None) -
     )
 
 
+def compact_state(state: GaussianState, opt_state, min_capacity: int = 64,
+                  margin: float = 2.0):
+    """Repack live splats contiguously and shrink capacity — the inverse of
+    grow_capacity (beyond the reference, whose prune physically reallocates
+    tensors every pass, model_gaussian.py:199-242; here dead slots
+    accumulate until explicitly reclaimed).
+
+    Shrinks to the smallest power of two >= n_live * margin (HBM headroom
+    for future densification), but never below ``min_capacity``. Live
+    order is preserved (stable sort), and every capacity-sized optimizer
+    leaf (Adam moments) follows its splat through the permutation.
+
+    Returns (state, opt_state, compacted: bool) — a no-op (False) when the
+    target would not be smaller. Host-side; triggers one recompile of
+    capacity-shaped executables when it fires.
+    """
+    import math
+
+    cap = state.capacity
+    n_live = int(jax.device_get(jnp.sum(state.alive.astype(jnp.int32))))
+    target = max(
+        int(min_capacity),
+        1 << max(0, math.ceil(math.log2(max(n_live * margin, 1.0)))),
+    )
+    if target >= cap:
+        return state, opt_state, False
+    perm = jnp.argsort(~state.alive, stable=True)[:target]
+
+    def take(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cap:
+            return x[perm]
+        return x
+
+    params = jax.tree.map(take, state.params)
+    alive = state.alive[perm]
+    # Tail dead slots: re-assert benign sentinels (cheap, defensive).
+    dead = ~alive
+    params.opacities = jnp.where(dead[:, None], -20.0, params.opacities)
+    params.scales = jnp.where(dead[:, None], -10.0, params.scales)
+    new_state = GaussianState(
+        params=params,
+        alive=alive,
+        means_grad_accum=state.means_grad_accum[perm],
+        active_sh_degree=state.active_sh_degree,
+    )
+    new_opt = jax.tree.map(take, opt_state)
+    return new_state, new_opt, True
+
+
 def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
     """Host-side capacity growth (rare; triggers one recompile)."""
     assert new_capacity >= state.capacity

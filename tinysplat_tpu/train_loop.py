@@ -296,8 +296,28 @@ class Trainer:
             int(stats["pruned"]), int(stats["num_live"]),
         )
 
+    def _maybe_compact(self) -> None:
+        """Periodic capacity reclamation (cfg.compact_interval; see
+        models/gaussians.compact_state). Runs after densify so freshly
+        freed slots are reclaimed in the same pass."""
+        cfg = self.cfg
+        if cfg.compact_interval <= 0 or self.step % cfg.compact_interval != 0:
+            return
+        from .models.gaussians import compact_state
+
+        old_cap = self.state.capacity
+        self.state, self.opt_state, did = compact_state(
+            self.state, self.opt_state, margin=cfg.compact_margin
+        )
+        if did:
+            log.info("compacted capacity %d -> %d (%d live)", old_cap,
+                     self.state.capacity, int(self.state.num_live()))
+            self._on_capacity_growth()  # reshard (mesh) + invalidate cache
+            self._invalidate_step_cache()
+
     def _on_capacity_growth(self) -> None:
-        """Hook after grow_capacity/grow_opt_state (MeshTrainer reshards)."""
+        """Hook after grow_capacity/grow_opt_state or compact_state
+        (MeshTrainer reshards)."""
 
     def _maybe_refresh_density_probe(self) -> None:
         cfg, step = self.cfg, self.step
@@ -413,6 +433,7 @@ class Trainer:
                                out.metrics["n_tile_dropped"])
 
         self._maybe_densify()
+        self._maybe_compact()
         self._maybe_retune_budgets()
         if (
             cfg.interval_opacity_reset > 0
