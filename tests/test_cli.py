@@ -116,3 +116,32 @@ def test_render_path_cli(tmp_path):
     arr = np.asarray(Image.open(frames[0]))
     assert arr.shape == (48, 64, 3)
     assert arr.max() > 0  # something rendered
+
+
+def test_evaluate_cli_synthetic(tmp_path):
+    """scripts/evaluate.py: checkpoint + synthetic GT scene -> PSNR/SSIM
+    JSON (beyond-reference tooling; the reference only logs train-view
+    metrics in-loop)."""
+    import json as _json
+
+    from tinysplat_tpu.io.checkpoint import save_checkpoint
+    from tinysplat_tpu.models.gaussians import init_from_pcd
+
+    rng = np.random.default_rng(2)
+    state = init_from_pcd(
+        rng.normal(size=(60, 3)).astype(np.float32) * 0.3,
+        rng.uniform(0, 255, size=(60, 3)).astype(np.float32),
+        sh_degree=1, capacity=64, opacity_init=0.9,
+    )
+    ck = str(tmp_path / "model.npz")
+    save_checkpoint(ck, state, None, step=10)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "evaluate.py"),
+         ck, "--synthetic", "--max-views", "2", "--rasterizer", "tiled"],
+        capture_output=True, text=True, env=ENV, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["views"] == 2
+    assert 0 < out["psnr"] < 60 and 0 <= out["ssim"] <= 1
+    assert len(out["per_view"]) == 2

@@ -154,6 +154,12 @@ class Config:
     # recompile when it fires; reclaims HBM after heavy pruning.
     compact_interval: int = 0
     compact_margin: float = 2.0
+    # In-loop profiling (the reference has none, SURVEY.md section 5): capture a
+    # jax.profiler trace of profile_steps steps starting at profile_start
+    # (past warmup compiles) and print the serialized per-op breakdown.
+    profile_steps: int = 0
+    profile_start: int = 20
+    profile_dir: str = "/tmp/tinysplat_trace"
     mcmc_cap: int = 0  # target live-splat cap (0 = the capacity)
     mcmc_min_opacity: float = 0.005  # below this, a splat is relocated
     mcmc_growth_factor: float = 1.05  # live-count growth per refine pass

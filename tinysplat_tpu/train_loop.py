@@ -524,8 +524,34 @@ class Trainer:
     def run(self, max_iter: Optional[int] = None) -> None:
         end = max_iter if max_iter is not None else self.cfg.max_iter
         while self.step < end:
+            self._maybe_profile_window()
             self.train_step()
             self._maybe_eval()
+
+    def _maybe_profile_window(self) -> None:
+        """--profile-steps N: trace steps [profile_start, profile_start+N)
+        and print the serialized per-op breakdown (utils/xplane). Wall
+        timings over a tunneled TPU are unreliable; the trace's serialized
+        TensorCore line is the ground truth (NOTES.md)."""
+        cfg = self.cfg
+        if cfg.profile_steps <= 0:
+            return
+        if self.step == cfg.profile_start and not getattr(self, "_prof_on", False):
+            jax.profiler.start_trace(cfg.profile_dir)
+            self._prof_on = True
+        elif getattr(self, "_prof_on", False) and (
+            self.step >= cfg.profile_start + cfg.profile_steps
+        ):
+            jax.block_until_ready(self.state.params.means)
+            jax.profiler.stop_trace()
+            self._prof_on = False
+            try:
+                from .utils.xplane import print_top_ops
+
+                print_top_ops(cfg.profile_dir, top=25, iters=cfg.profile_steps)
+            except Exception as e:  # CPU traces may lack the TensorCore line
+                log.warning("trace captured at %s but per-op parse failed: %s",
+                            cfg.profile_dir, e)
 
     async def run_async(self, max_iter: Optional[int] = None) -> None:
         """Cooperative variant interleaving with the viewer server.
@@ -540,6 +566,7 @@ class Trainer:
         loop = asyncio.get_running_loop()
         end = max_iter if max_iter is not None else self.cfg.max_iter
         while self.step < end:
+            self._maybe_profile_window()
             await loop.run_in_executor(None, self.train_step)
             self._maybe_eval()
             await asyncio.sleep(0)
