@@ -60,7 +60,8 @@ BASELINE_MSPLATS_S = 25.0
 
 
 def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
-         iters: int = 30, warmup: int = 5) -> None:
+         iters: int = 30, warmup: int = 5, grad_reduce: str = "sorted",
+         tiles_per_block: int = 8) -> None:
     from tinysplat_tpu.data.synthetic import orbit_cameras
     from tinysplat_tpu.render import render
     from __graft_entry__ import _example_state
@@ -87,6 +88,8 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
             dup_capacity=1_280_000,
             span_capacity=786_432,
             max_per_tile=2048,
+            grad_reduce=grad_reduce,
+            tiles_per_block=tiles_per_block,
         )
         return jnp.sum(rgb) + jnp.sum(extras["depth"])
 
@@ -153,5 +156,9 @@ if __name__ == "__main__":
     p.add_argument("--height", type=int, default=1066)
     p.add_argument("--width", type=int, default=1600)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--grad-reduce", default="sorted",
+                   choices=["scatter", "sorted", "segment"])
+    p.add_argument("--tpb", type=int, default=8, help="tiles per Pallas block")
     args = p.parse_args()
-    main(args.n, args.height, args.width, args.iters)
+    main(args.n, args.height, args.width, args.iters,
+         grad_reduce=args.grad_reduce, tiles_per_block=args.tpb)

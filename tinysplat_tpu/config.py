@@ -117,6 +117,7 @@ class Config:
     max_per_tile: int = 0
     span_capacity: int = 0  # binning row-span budget (0 = auto)
     grad_reduce: str = "sorted"  # pallas entry-grad reduction: scatter|sorted|segment
+    tiles_per_block: int = 8  # tiles per Pallas grid step (amortizes step floor)
     # Multi-chip: round-robin 16px tile ROWS over the mesh 'tile' axis
     # instead of contiguous bands — flattens the per-band intersection
     # imbalance (measured 1.8x max/mean, SCALING_r03.json) to group

@@ -121,6 +121,7 @@ def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, 
         from ..ops.rasterize_pallas import rasterize_pallas as fn
 
         kw["grad_reduce"] = cfg.grad_reduce
+        kw["tiles_per_block"] = cfg.tiles_per_block
     else:
         from ..ops.rasterize import rasterize_tiled as fn
 

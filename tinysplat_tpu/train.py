@@ -160,6 +160,7 @@ def compute_losses(
         max_per_tile=cfg.max_per_tile,
         span_capacity=cfg.span_capacity,
         grad_reduce=cfg.grad_reduce,
+        tiles_per_block=cfg.tiles_per_block,
         antialiased=cfg.antialiased,
     )
     if app_params is not None:
