@@ -32,6 +32,11 @@ done
 echo "--- profile_bench $(date) ---"
 python scripts/profile_bench.py --iters 3 --top 30
 
+# 3b. bf16-window feasibility: does Mosaic lower the uint16 lane
+#     reconstruction (variant D)? Gates NOTES' bf16-attr-window idea.
+echo "--- probe_bf16_bitcast $(date) ---"
+python scripts/probe_bf16_bitcast.py
+
 # 4. Adversarial quality benchmark (VERDICT r2 item 3): GT via the tiled
 #    XLA backend, random-cloud init, >=100k splats — ~35 min.
 echo "--- quality_bench $(date) ---"
