@@ -181,3 +181,18 @@ def test_nan_guard_rollback():
     assert tr._rollbacks == 1 and tr.step == before + 1
     for leaf in jax.tree.leaves(tr.state.params):
         assert bool(jnp.isfinite(leaf).all())
+
+
+def test_profile_window_fires(tmp_path):
+    """--profile-steps: the trace window opens at profile_start, closes after
+    profile_steps steps, and leaves a trace on disk (the per-op parse is
+    allowed to no-op on CPU traces)."""
+    scene = _toy_scene()
+    cfg = _cfg(max_iter=8, profile_steps=2, profile_start=3,
+               profile_dir=str(tmp_path / "trace"))
+    pcd = synthetic_pcd(80, seed=2)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=128)
+    tr = Trainer(cfg, scene, state)
+    tr.run(8)
+    assert not getattr(tr, "_prof_on", False)  # window closed again
+    assert os.path.isdir(os.path.join(str(tmp_path / "trace"), "plugins"))
