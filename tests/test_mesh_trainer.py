@@ -147,7 +147,7 @@ def test_mesh_trainer_depth_without_maps_disables_term(caplog):
     tr = MeshTrainer(cfg, scene, state, mesh=make_mesh(2, 2))
     with caplog.at_level(logging.WARNING):
         tr.train_step()
-    assert tr._sharded_step_key == (False, False)  # depth term disabled
+    assert tr._sharded_step_key[:2] == (False, False)  # depth term disabled
     assert "n_dup_dropped" in tr.metrics._pending or True
     assert any("DISABLED" in r.message for r in caplog.records)
     assert "loss_depth" not in {k for k in tr.metrics._pending}

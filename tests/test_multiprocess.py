@@ -1,0 +1,107 @@
+"""REAL multi-process distributed execution (2 processes, gloo collectives).
+
+Everything else in the suite simulates a pod slice with one process and 8
+virtual devices; this test runs the actual multi-controller stack —
+jax.distributed.initialize, cross-process collectives inside the sharded
+train step, per-process sharded checkpoint IO with barriers — the way a
+multi-host TPU run would (SURVEY.md section 2.3 / section 5 bars; VERDICT r2
+component #31). CPU backend + gloo stands in for ICI; the topology and the
+JAX multi-controller semantics are the real thing.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WORKER = os.path.join(_REPO, "tests", "_mp_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _worker_env(local_devices: int) -> dict:
+    env = dict(os.environ)
+    # Escape the ambient TPU relay (sitecustomize registers the axon plugin
+    # at interpreter startup; JAX_PLATFORMS alone does not win).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
+    env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Share the suite's persistent compilation cache (keyed by topology).
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    return env
+
+
+def _run_workers(nprocs: int, local_devices: int, workdir: str,
+                 timeout: float = 540.0):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(i), str(nprocs), str(port), workdir],
+            env=_worker_env(local_devices),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=_REPO,
+        )
+        for i in range(nprocs)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:  # exact PIDs we started — never pattern-kill
+            if p.poll() is None:
+                p.kill()
+                outs.append(p.communicate()[0])
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed (rc={p.returncode}):\n{out[-4000:]}"
+    return [
+        json.load(open(os.path.join(workdir, f"result_p{i}.json")))
+        for i in range(nprocs)
+    ]
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    d2 = tmp_path / "mp2"
+    d1 = tmp_path / "mp1"
+    d2.mkdir(), d1.mkdir()
+    res2 = _run_workers(2, local_devices=2, workdir=str(d2))
+    res1 = _run_workers(1, local_devices=4, workdir=str(d1))
+
+    # The replicated loss/psnr outputs must agree ACROSS the two processes.
+    np.testing.assert_allclose(res2[0]["losses"], res2[1]["losses"], rtol=1e-6)
+    np.testing.assert_allclose(res2[0]["psnrs"], res2[1]["psnrs"], rtol=1e-6)
+    # ... and with a single-process run over the same 4-device mesh (gloo
+    # reduction order may differ from XLA's single-process order -> rtol).
+    np.testing.assert_allclose(res2[0]["losses"], res1[0]["losses"], rtol=1e-4)
+    np.testing.assert_allclose(res2[0]["psnrs"], res1[0]["psnrs"], rtol=1e-4)
+    assert res2[0]["num_live"] == res1[0]["num_live"]
+
+    # Checkpoint layout: every process wrote exactly its own shard dir, and
+    # only process 0 published the manifest.
+    assert (d2 / "ckpt" / "manifest.npz").exists()
+    assert (d2 / "ckpt" / "p0").is_dir() and (d2 / "ckpt" / "p1").is_dir()
+    # Aggregate shard bytes ~= one copy of the global state (replicated
+    # leaves written once): the 2-process layout must not duplicate data.
+    def shard_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs if not f.endswith("idx.npy")
+        )
+    b2 = shard_bytes(d2 / "ckpt")
+    b1 = shard_bytes(d1 / "ckpt")
+    assert abs(b2 - b1) <= 0.01 * b1, (b2, b1)

@@ -74,6 +74,35 @@ def state_shardings(mesh: Mesh, state_like):
     )
 
 
+def host_to_global(mesh: Mesh, spec: P, value) -> jax.Array:
+    """Stage one host value as a global array on a possibly multi-process mesh.
+
+    Multi-controller JAX runs the host loop in lockstep on every process;
+    every process passes the SAME full (global-shape) host value and gets
+    back a global jax.Array of which it materializes only its addressable
+    shards. Single-process reduces to a plain device_put."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    arr = np.asarray(value)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def shard_state(mesh: Mesh, state):
-    """Place a (host or replicated) state pytree onto the mesh, sharded."""
-    return jax.device_put(state, state_shardings(mesh, state))
+    """Place a (host or replicated) state pytree onto the mesh, sharded.
+
+    Multi-process: host/local leaves are staged shard-by-shard (every process
+    holds the same full value — see host_to_global); already-global leaves
+    (e.g. grown arrays after a capacity doubling) go through device_put's
+    cross-host resharding."""
+    if jax.process_count() == 1:
+        return jax.device_put(state, state_shardings(mesh, state))
+
+    def put(leaf):
+        sh = NamedSharding(mesh, capacity_leaf_spec(leaf))
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            return jax.device_put(leaf, sh)
+        return host_to_global(mesh, capacity_leaf_spec(leaf), leaf)
+
+    return jax.tree.map(put, state)

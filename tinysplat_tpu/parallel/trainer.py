@@ -22,11 +22,14 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
 from ..config import Config
 from ..models.gaussians import GaussianState
 from ..scene import Scene
 from ..train_loop import Trainer
-from .sharding import make_mesh, shard_state
+from .sharding import host_to_global, make_mesh, shard_state
 from .train_step import make_sharded_render, make_sharded_train_step
 
 log = logging.getLogger(__name__)
@@ -152,9 +155,24 @@ class MeshTrainer(Trainer):
 
     # -- main loop -------------------------------------------------------------
 
+    def _host_image(self, camera, w: int, h: int) -> np.ndarray:
+        """Host-side GT frame cache (multi-process staging path — each
+        process device_puts only its addressable band of the batch, so
+        nothing is pinned whole on any one device)."""
+        key = ("host", camera.name, w, h)
+        img = self._image_cache.get(key)
+        if img is None:
+            img = np.asarray(camera.get_original_image((w, h)))
+            self._image_cache[key] = img
+        return img
+
     def train_step(self) -> None:
         self.step += 1
         self._maybe_refresh_density_probe()
+        # Multi-controller discipline: every process runs this loop in
+        # lockstep with identical RNG, builds the same full host batch, and
+        # stages only its addressable shards (host_to_global).
+        multi = jax.process_count() > 1
 
         cams: List = [self.scene.get_random_camera(self.step * self.n_data + i)
                       for i in range(self.n_data)]
@@ -163,10 +181,20 @@ class MeshTrainer(Trainer):
             lambda *xs: jnp.stack(xs),
             *[self._scale_cam_params(c.params(), c, h, w) for c in cams]
         )
-        # Per-camera frames come from the HBM-pinned cache (a 20 MB per-step
-        # host->device upload dominates tunneled step time, train_loop.py
-        # _device_image); the stack runs on device.
-        gt = jnp.stack([self._device_image(c, w, h) for c in cams])
+        if multi:
+            cam_batch = jax.tree.map(
+                lambda x: host_to_global(self.mesh, P("data"), np.asarray(x)),
+                cam_batch,
+            )
+            gt = host_to_global(
+                self.mesh, P("data", "tile"),
+                np.stack([self._host_image(c, w, h) for c in cams]),
+            )
+        else:
+            # Per-camera frames come from the HBM-pinned cache (a 20 MB
+            # per-step host->device upload dominates tunneled step time,
+            # train_loop.py _device_image); the stack runs on device.
+            gt = jnp.stack([self._device_image(c, w, h) for c in cams])
         step_fn = self._get_sharded_step(h, w)  # may flip use_depth first
         if self._sharded_step_key[1]:
             est = jnp.stack([jnp.asarray(c.estimated_depth) for c in cams])
@@ -174,8 +202,12 @@ class MeshTrainer(Trainer):
                 est = jax.image.resize(est, (est.shape[0], h, w), "linear")
         else:
             est = jnp.zeros((self.n_data, h, w), jnp.float32)
+        if multi:
+            est = host_to_global(self.mesh, P("data", "tile"), np.asarray(est))
 
         self.key, sub = jax.random.split(self.key)
+        if multi:  # raw uint32 PRNG key, identical on every process
+            sub = host_to_global(self.mesh, P(), np.asarray(sub))
         pose_kw = {}
         slots = None
         if self.cfg.pose_opt or self.cfg.app_opt:
@@ -190,6 +222,9 @@ class MeshTrainer(Trainer):
                 self.app_params[s] if s is not None else jnp.zeros(12)
                 for s in slots
             ])
+        if multi:
+            pose_kw = {k: host_to_global(self.mesh, P("data"), np.asarray(v))
+                       for k, v in pose_kw.items()}
         out = step_fn(
             self.state, self.opt_state, cam_batch, gt, est, self.step, sub,
             density_probe=self.density_probe, **pose_kw,
