@@ -25,6 +25,8 @@ def main() -> int:
     nprocs = int(sys.argv[2])
     port = sys.argv[3]
     workdir = sys.argv[4]
+    scenario = sys.argv[5] if len(sys.argv) > 5 else "train"
+    resume_from = sys.argv[6] if len(sys.argv) > 6 else None
 
     import jax
 
@@ -59,11 +61,66 @@ def main() -> int:
     for cam in cams:
         cam._image = rng.uniform(0, 1, (size, size, 3)).astype(np.float32)
     scene = Scene(cams)
-    cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
-                 interval_opacity_reset=0, warmup_grad=0)
+    if scenario == "grow":
+        # Densification with forced capacity overflow: exercises the
+        # grow-capacity -> cross-host reshard -> redo-densify path and the
+        # shared _maybe_densify hook (staged RNG key) under multi-process.
+        cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=1,
+                     densify_end=100, tau_means=0.0,
+                     densify_scale_thresh=1e-6, interval_opacity_reset=0,
+                     warmup_grad=0)
+    else:
+        cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
+                     interval_opacity_reset=0, warmup_grad=0)
     pcd = synthetic_pcd(24, seed=2)
     state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=32)
     tr = MeshTrainer(cfg, scene, state, mesh=make_mesh(2, 2))
+
+    if scenario == "resume":
+        # Elastic restart: restore a checkpoint written by a DIFFERENT
+        # process count (reads other processes' shard files off the shared
+        # filesystem) and keep training on this mesh.
+        r_state, r_opt, r_step, r_key = restore_checkpoint_sharded(
+            resume_from, cfg, tr.mesh)
+        tr.state, tr.opt_state, tr.step = r_state, r_opt, r_step
+        if r_key is not None:
+            tr.key = r_key
+        losses = []
+        orig_update = tr.metrics.update
+
+        def capture(step, values):
+            losses.append(float(jax.device_get(values["loss"])))
+            orig_update(step, values)
+
+        tr.metrics.update = capture
+        for _ in range(2):
+            tr.train_step()
+        assert all(np.isfinite(losses)), losses
+        with open(os.path.join(workdir, f"result_p{pid}.json"), "w") as f:
+            json.dump({"losses": losses, "start_step": r_step,
+                       "end_step": tr.step}, f)
+        return 0
+
+    if scenario == "grow":
+        losses = []
+        orig_update = tr.metrics.update
+
+        def capture(step, values):
+            losses.append(float(jax.device_get(values["loss"])))
+            orig_update(step, values)
+
+        tr.metrics.update = capture
+        tr.interval_densify = 2
+        for _ in range(5):
+            tr.train_step()
+        assert all(np.isfinite(losses)), losses
+        # Collective-safe finiteness check (means is non-addressable here).
+        assert bool(jax.device_get(jnp.isfinite(tr.state.params.means).all()))
+        with open(os.path.join(workdir, f"result_p{pid}.json"), "w") as f:
+            json.dump({"losses": losses, "capacity": int(tr.state.capacity),
+                       "num_live": int(jax.device_get(tr.state.num_live()))},
+                      f)
+        return 0
 
     losses, psnrs = [], []
     orig_update = tr.metrics.update

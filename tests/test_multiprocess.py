@@ -45,11 +45,14 @@ def _worker_env(local_devices: int) -> dict:
 
 
 def _run_workers(nprocs: int, local_devices: int, workdir: str,
-                 timeout: float = 540.0):
+                 timeout: float = 540.0, scenario: str = "train",
+                 resume_from: str = None):
     port = _free_port()
+    extra = [scenario] + ([resume_from] if resume_from else [])
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(i), str(nprocs), str(port), workdir],
+            [sys.executable, _WORKER, str(i), str(nprocs), str(port), workdir]
+            + extra,
             env=_worker_env(local_devices),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=_REPO,
@@ -105,3 +108,29 @@ def test_two_process_training_matches_single_process(tmp_path):
     b2 = shard_bytes(d2 / "ckpt")
     b1 = shard_bytes(d1 / "ckpt")
     assert abs(b2 - b1) <= 0.01 * b1, (b2, b1)
+
+    # Elastic restart: the checkpoint written by TWO processes restores into
+    # a ONE-process run of the same 4-device mesh (reads the other process's
+    # shard files) and training continues from the saved step.
+    dr = tmp_path / "resume"
+    dr.mkdir()
+    res_r = _run_workers(1, local_devices=4, workdir=str(dr),
+                         scenario="resume", resume_from=str(d2 / "ckpt"))
+    assert res_r[0]["start_step"] == 3
+    assert res_r[0]["end_step"] == 5
+    assert np.isfinite(res_r[0]["losses"]).all()
+
+
+@pytest.mark.slow
+def test_two_process_densify_growth(tmp_path):
+    """Capacity overflow -> grow -> cross-host reshard -> redo, lockstep."""
+    d2 = tmp_path / "g2"
+    d1 = tmp_path / "g1"
+    d2.mkdir(), d1.mkdir()
+    res2 = _run_workers(2, local_devices=2, workdir=str(d2), scenario="grow")
+    res1 = _run_workers(1, local_devices=4, workdir=str(d1), scenario="grow")
+    np.testing.assert_allclose(res2[0]["losses"], res2[1]["losses"], rtol=1e-6)
+    assert res2[0]["capacity"] > 32  # grew (and resharded) without errors
+    assert res2[0]["capacity"] == res1[0]["capacity"]
+    assert res2[0]["num_live"] == res1[0]["num_live"]
+    np.testing.assert_allclose(res2[0]["losses"], res1[0]["losses"], rtol=1e-4)

@@ -124,6 +124,14 @@ class MeshTrainer(Trainer):
         super()._invalidate_step_cache()
         self._sharded_step = None
 
+    def _stage_key(self, k):
+        # Raw uint32 PRNG key, identical on every process (lockstep rule) —
+        # staged replicated so densify / probe-refresh / step code can mix it
+        # with the mesh-global state arrays under multi-process execution.
+        if jax.process_count() == 1:
+            return k
+        return host_to_global(self.mesh, P(), np.asarray(k))
+
     def _on_capacity_growth(self) -> None:
         # Grown arrays come back unsharded (jnp.pad); reshard before the
         # densify redo pass and the next step run on them.
@@ -206,8 +214,7 @@ class MeshTrainer(Trainer):
             est = host_to_global(self.mesh, P("data", "tile"), np.asarray(est))
 
         self.key, sub = jax.random.split(self.key)
-        if multi:  # raw uint32 PRNG key, identical on every process
-            sub = host_to_global(self.mesh, P(), np.asarray(sub))
+        sub = self._stage_key(sub)
         pose_kw = {}
         slots = None
         if self.cfg.pose_opt or self.cfg.app_opt:

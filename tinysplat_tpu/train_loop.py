@@ -256,6 +256,7 @@ class Trainer:
             from .models.densify_mcmc import relocate_and_grow
 
             self.key, sub = jax.random.split(self.key)
+            sub = self._stage_key(sub)
             self.state, self.opt_state, stats = relocate_and_grow(
                 self.state, self.opt_state, sub, cfg
             )
@@ -269,6 +270,7 @@ class Trainer:
         cam = self.scene.cameras[0]
         max_dim = max(cam.width, cam.height)
         self.key, sub = jax.random.split(self.key)
+        sub = self._stage_key(sub)
         new_state, new_opt, stats = densify_and_prune(
             self.state, self.opt_state, sub, self.interval_densify, max_dim, cfg
         )
@@ -319,6 +321,13 @@ class Trainer:
         """Hook after grow_capacity/grow_opt_state or compact_state
         (MeshTrainer reshards)."""
 
+    def _stage_key(self, k):
+        """Hook: stage a freshly split RNG key for device code. MeshTrainer
+        converts it to a global replicated array under multi-process
+        execution (a locally-committed array cannot feed a computation that
+        spans other processes' devices)."""
+        return k
+
     def _maybe_refresh_density_probe(self) -> None:
         cfg, step = self.cfg, self.step
         if not cfg.regularize_density:
@@ -336,6 +345,7 @@ class Trainer:
             from .regularizers.density import make_density_probe
 
             self.key, sub = jax.random.split(self.key)
+            sub = self._stage_key(sub)
             self.density_probe = make_density_probe(
                 self.state.params, self.state.alive, sub, num_samples=100_000
             )
