@@ -85,6 +85,21 @@ async def main() -> None:
     )
     args = arg_parser().parse_args()
     cfg = Config(**vars(args))
+    if cfg.distributed or cfg.coordinator_address:
+        # Multi-controller init MUST precede any JAX backend use (the first
+        # jax.devices()/jnp call pins the single-process topology). Every
+        # host runs this same CLI; with no explicit flags the topology is
+        # auto-detected (TPU pod metadata).
+        from tinysplat_tpu.parallel import init_distributed
+
+        kw = {}
+        if cfg.coordinator_address:
+            kw["coordinator_address"] = cfg.coordinator_address
+        if cfg.num_processes > 0:
+            kw["num_processes"] = cfg.num_processes
+        if cfg.process_id >= 0:
+            kw["process_id"] = cfg.process_id
+        init_distributed(**kw)
     # Path joining as in reference main (scripts/train.py:254-257).
     cfg = dataclasses.replace(
         cfg,
@@ -126,9 +141,8 @@ async def main() -> None:
     import jax
 
     if len(jax.devices()) > 1 and (cfg.mesh_tile > 1 or cfg.mesh_splat > 1):
-        from tinysplat_tpu.parallel import MeshTrainer, init_distributed, make_mesh
+        from tinysplat_tpu.parallel import MeshTrainer, make_mesh
 
-        init_distributed()
         mesh = make_mesh(max(cfg.mesh_splat, 1), cfg.mesh_tile or 0)
         trainer = MeshTrainer(cfg, scene, state, opt_state, start_step, rng_key,
                               mesh=mesh)
@@ -140,6 +154,17 @@ async def main() -> None:
         trainer.restore_pose_state(load_checkpoint_extras(cfg.load_checkpoint))
     trainer.eval_cameras = eval_cameras
     scene.render_fn = lambda camera, dims=None: trainer.render_camera(camera, dims)
+
+    if cfg.viewer and jax.process_count() > 1:
+        # The live viewer renders from a worker thread on one host only; a
+        # sharded render is a collective over every process, so a
+        # process-0-only call would deadlock the pod. Render paths for
+        # multi-host runs: --eval-interval (lockstep) or offline
+        # scripts/render_path.py on a checkpoint.
+        logging.getLogger(__name__).warning(
+            "--viewer is unsupported under multi-host execution; disabling "
+            "(use --eval-interval or offline rendering from checkpoints)")
+        cfg = dataclasses.replace(cfg, viewer=False)
 
     coroutines = []
     if cfg.viewer:

@@ -122,6 +122,47 @@ def test_two_process_training_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_two_process_launch(tmp_path):
+    """The PRODUCT surface: scripts/train.py launched once per host with
+    --coordinator-address/--num-processes/--process-id (multi-controller
+    init before backend touch), training a 2x2 mesh across two processes
+    and writing ONE sharded checkpoint (process-0 manifest, broadcast
+    timestamp)."""
+    port = _free_port()
+    cks = tmp_path / "cks"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "scripts/train.py", "--train", "--no-viewer",
+             "--synthetic", "--max-iter", "4", "--rasterizer", "tiled",
+             "--mesh-splat", "2", "--mesh-tile", "2",
+             "--coordinator-address", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--save-checkpoints", "--checkpoint-interval", "4",
+             "--checkpoint-dir", str(cks)],
+            env=_worker_env(2), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True, cwd=_REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:  # exact PIDs we started — never pattern-kill
+            if p.poll() is None:
+                p.kill()
+                outs.append(p.communicate()[0])
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"CLI rc={p.returncode}:\n{out[-4000:]}"
+    ckpts = list(cks.glob("*.ckpt"))
+    assert len(ckpts) == 1, ckpts  # ONE run dir despite two processes
+    assert (ckpts[0] / "manifest.npz").exists()
+    assert (ckpts[0] / "p0").is_dir() and (ckpts[0] / "p1").is_dir()
+
+
+@pytest.mark.slow
 def test_two_process_densify_growth(tmp_path):
     """Capacity overflow -> grow -> cross-host reshard -> redo, lockstep."""
     d2 = tmp_path / "g2"

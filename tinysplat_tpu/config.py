@@ -173,6 +173,14 @@ class Config:
     nan_guard_interval: int = 200
     mesh_tile: int = 1  # mesh axis size: image-tile (pixel) sharding
     mesh_splat: int = 1  # mesh axis size: splat sharding
+    # Multi-host (multi-controller) launch: every host runs the same CLI.
+    # --distributed alone auto-detects the topology (TPU pod metadata);
+    # explicit coordinator flags cover CPU/gloo or bare-metal launches.
+    # Must be processed BEFORE the JAX backend initializes.
+    distributed: bool = False
+    coordinator_address: Optional[str] = None  # host:port of process 0
+    num_processes: int = 0  # 0 = auto-detect
+    process_id: int = -1  # -1 = auto-detect
     seed: int = 0
     synthetic: bool = False  # use a synthetic scene instead of COLMAP data
     log_interval: int = 0  # 0: per-epoch logging like the reference

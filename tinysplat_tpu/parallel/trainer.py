@@ -80,6 +80,16 @@ class MeshTrainer(Trainer):
         self._sharded_step = None
         self._sharded_step_key = None
         self._warned_no_depth = False
+        if jax.process_count() > 1:
+            # Checkpoint paths embed the run timestamp; processes started
+            # across a second boundary would otherwise scatter their shard
+            # files over different directories. Everyone takes process 0's.
+            from jax.experimental import multihost_utils
+            import numpy as np
+
+            ts = np.frombuffer(self._timestamp.encode(), np.uint8)
+            self._timestamp = bytes(
+                np.asarray(multihost_utils.broadcast_one_to_all(ts))).decode()
 
     # -- step construction -----------------------------------------------------
 
