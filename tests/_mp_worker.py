@@ -158,8 +158,13 @@ def main() -> int:
     tr.state, tr.opt_state = r_state, r_opt
     tr.train_step()
 
+    # Held-out evaluation as a lockstep collective (sharded render spans the
+    # whole mesh; PSNR/SSIM reduce to replicated scalars).
+    ev = tr.evaluate([scene.cameras[0]])
+
     with open(os.path.join(workdir, f"result_p{pid}.json"), "w") as f:
         json.dump({"losses": losses, "psnrs": psnrs,
+                   "eval_psnr": ev["eval_psnr"], "eval_ssim": ev["eval_ssim"],
                    "num_live": int(jax.device_get(tr.state.num_live()))}, f)
     return 0
 

@@ -93,6 +93,10 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(res2[0]["losses"], res1[0]["losses"], rtol=1e-4)
     np.testing.assert_allclose(res2[0]["psnrs"], res1[0]["psnrs"], rtol=1e-4)
     assert res2[0]["num_live"] == res1[0]["num_live"]
+    # Held-out eval (sharded collective render) agrees everywhere too.
+    assert res2[0]["eval_psnr"] == pytest.approx(res2[1]["eval_psnr"], rel=1e-6)
+    assert res2[0]["eval_psnr"] == pytest.approx(res1[0]["eval_psnr"], rel=1e-4)
+    assert res2[0]["eval_ssim"] == pytest.approx(res1[0]["eval_ssim"], rel=1e-4)
 
     # Checkpoint layout: every process wrote exactly its own shard dir, and
     # only process 0 published the manifest.

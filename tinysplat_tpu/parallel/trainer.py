@@ -292,14 +292,27 @@ class MeshTrainer(Trainer):
         doesn't divide the device count (odd viewer dims)."""
         w, h = dims if dims is not None else (camera.width, camera.height)
         n_dev = int(self.mesh.devices.size)
+        multi = jax.process_count() > 1
         if h % n_dev != 0:
+            if multi:
+                raise ValueError(
+                    f"multi-host render needs height divisible by the device "
+                    f"count ({h} % {n_dev} != 0); the single-device fallback "
+                    f"would require gathering the full parameter set to one "
+                    f"process")
             return super().render_camera(camera, dims, background)
         bg = background if background is not None else jnp.zeros(3)
         key = ("sharded_render", h, w, self.cfg.rasterizer)
         if key not in self._step_fns:
             self._step_fns[key] = make_sharded_render(self.cfg, h, w, self.mesh)
+        cam_params = camera.params()
+        if multi:  # lockstep collective render: stage the host-side inputs
+            cam_params = jax.tree.map(
+                lambda x: host_to_global(self.mesh, P(), np.asarray(x)),
+                cam_params)
+            bg = host_to_global(self.mesh, P(), np.asarray(bg))
         rgb, depth, alpha = self._step_fns[key](
             self.state.params, self.state.alive, self.state.active_sh_degree,
-            camera.params(), bg,
+            cam_params, bg,
         )
         return rgb, {"depth": depth, "alpha": alpha}
