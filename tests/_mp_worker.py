@@ -69,6 +69,13 @@ def main() -> int:
                      densify_end=100, tau_means=0.0,
                      densify_scale_thresh=1e-6, interval_opacity_reset=0,
                      warmup_grad=0)
+    elif scenario == "density":
+        # SuGaR density regularizer: probe refresh (global-array KNN +
+        # reshard to the 'tile' axis) and the density loss term, lockstep.
+        cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
+                     interval_opacity_reset=0, warmup_grad=0,
+                     regularize_density=True, regularize_density_start=1,
+                     regularize_density_end=100, density_samples=2048)
     else:
         cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
                      interval_opacity_reset=0, warmup_grad=0)
@@ -99,6 +106,24 @@ def main() -> int:
         with open(os.path.join(workdir, f"result_p{pid}.json"), "w") as f:
             json.dump({"losses": losses, "start_step": r_step,
                        "end_step": tr.step}, f)
+        return 0
+
+    if scenario == "density":
+        losses, dens = [], []
+        orig_update = tr.metrics.update
+
+        def capture(step, values):
+            losses.append(float(jax.device_get(values["loss"])))
+            dens.append(float(jax.device_get(values["loss_density"])))
+            orig_update(step, values)
+
+        tr.metrics.update = capture
+        for _ in range(2):
+            tr.train_step()
+        assert all(np.isfinite(losses)), losses
+        assert all(np.isfinite(dens)), dens
+        with open(os.path.join(workdir, f"result_p{pid}.json"), "w") as f:
+            json.dump({"losses": losses, "loss_density": dens}, f)
         return 0
 
     if scenario == "grow":

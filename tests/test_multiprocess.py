@@ -167,6 +167,25 @@ def test_cli_two_process_launch(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_density_regularizer(tmp_path):
+    """Probe refresh (KNN over global arrays, reshard to 'tile') + density
+    loss term run lockstep across two real processes."""
+    d2 = tmp_path / "dn2"
+    d1 = tmp_path / "dn1"
+    d2.mkdir(), d1.mkdir()
+    res2 = _run_workers(2, local_devices=2, workdir=str(d2),
+                        scenario="density")
+    res1 = _run_workers(1, local_devices=4, workdir=str(d1),
+                        scenario="density")
+    np.testing.assert_allclose(res2[0]["losses"], res2[1]["losses"], rtol=1e-6)
+    np.testing.assert_allclose(
+        res2[0]["loss_density"], res2[1]["loss_density"], rtol=1e-6)
+    np.testing.assert_allclose(res2[0]["losses"], res1[0]["losses"], rtol=1e-4)
+    np.testing.assert_allclose(
+        res2[0]["loss_density"], res1[0]["loss_density"], rtol=1e-3)
+
+
+@pytest.mark.slow
 def test_two_process_densify_growth(tmp_path):
     """Capacity overflow -> grow -> cross-host reshard -> redo, lockstep."""
     d2 = tmp_path / "g2"

@@ -103,6 +103,7 @@ class Config:
     regularize_sdf: bool = False
     regularize_density_start: int = 9000
     regularize_density_end: int = 15_000
+    density_samples: int = 100_000  # probe sample points per refresh
 
     # --- TPU-framework-specific ---------------------------------------------
     # auto = pallas on TPU, tiled elsewhere (resolved by resolve_rasterizer);

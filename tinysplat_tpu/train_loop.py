@@ -347,7 +347,8 @@ class Trainer:
             self.key, sub = jax.random.split(self.key)
             sub = self._stage_key(sub)
             self.density_probe = make_density_probe(
-                self.state.params, self.state.alive, sub, num_samples=100_000
+                self.state.params, self.state.alive, sub,
+                num_samples=cfg.density_samples,
             )
 
     def _maybe_refresh_diffusion_views(self) -> None:
