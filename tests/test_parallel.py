@@ -178,8 +178,20 @@ def test_mcmc_noise_matches_single_device():
     position noise AFTER Adam; the sharded step draws one full-capacity
     eps from the same key and slices each FSDP shard's rows, so 1-vs-N
     must agree exactly on the noise too (validates the
-    (t_idx * n_data + d_idx) * c_shard row layout)."""
+    (d_idx * n_tile + t_idx) * c_shard row layout — device (d, t) holds
+    global capacity block d * n_tile + t under P(('data', 'tile')))."""
     state, cam_batch, gt, est = _setup()
+    # Open the noise gate: gate = sigmoid(100*((1-o)-0.995)) is ~0 at the
+    # cloud's moderate opacities — noise was suppressed to ~1e-5 of scale,
+    # which once hid a wrong shard-row eps mapping inside the tolerance.
+    # Near-zero opacity raises the gate to ~0.62 so the injected noise
+    # DOMINATES the step and any eps permutation is a first-order mismatch.
+    state = dataclasses.replace(
+        state,
+        params=dataclasses.replace(
+            state.params,
+            opacities=jnp.where(state.alive[:, None], -7.0,
+                                state.params.opacities)))
     st1, m1 = _run((1, 1), state, cam_batch, gt, est,
                    densify_strategy="mcmc")
     stN, mN = _run((2, 2), state, cam_batch, gt, est,
@@ -188,8 +200,9 @@ def test_mcmc_noise_matches_single_device():
         np.testing.assert_allclose(m1[k], mN[k], rtol=2e-4, atol=2e-5, err_msg=k)
     a = np.asarray(st1.params.means[:N])
     b = np.asarray(stN.params.means[:N])
-    close = np.isclose(a, b, rtol=3e-4, atol=3e-5)
-    assert close.mean() > 0.99
+    moved = np.abs(a - np.asarray(state.params.means[:N])).max()
+    assert moved > 0  # the gate is open: noise really was injected
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-3 * moved)
 
 
 def test_sharded_render_interleaved_matches_unsharded():

@@ -240,3 +240,18 @@ def test_pose_app_state_checkpoint_roundtrip(tmp_path):
                                np.asarray(tr.app_params))
     np.testing.assert_allclose(np.asarray(tr2._pose_m), np.asarray(tr._pose_m))
     np.testing.assert_allclose(np.asarray(tr2._app_v), np.asarray(tr._app_v))
+
+
+def test_app_opt_only_render_camera():
+    """--app-opt without --pose-opt: eval/viewer renders must not try to
+    apply a (nonexistent) pose delta — _pose_slot returns a slot whenever
+    EITHER table exists (regression: None[slot] TypeError)."""
+    scene = _toy_scene(n_cams=2, size=32)
+    cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
+                 interval_opacity_reset=0, warmup_grad=0, app_opt=True)
+    pcd = synthetic_pcd(24, seed=2)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=32)
+    tr = Trainer(cfg, scene, state)
+    rgb, extras = tr.render_camera(scene.cameras[0])
+    assert rgb.shape == (32, 32, 3)
+    assert np.isfinite(np.asarray(rgb)).all()

@@ -178,3 +178,28 @@ def test_antialiased_render_backend_parity_and_grads():
 
     g = np.asarray(jax.grad(loss_fn)(params.scales))
     assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
+def test_antialias_compensation_needle_grad_finite():
+    """Needle/sub-blur splats round det_orig to <= 0 in f32; the
+    compensation's sqrt-of-clip must not emit NaN gradients there
+    (inf * 0 at the old zero clip floor)."""
+    import jax
+    from tinysplat_tpu.render import antialias_compensation
+
+    def inv2x2(a, c):  # diagonal covariance -> conic
+        return jnp.stack([1.0 / a, jnp.zeros(()), 1.0 / c])
+
+    conics = jnp.stack([
+        inv2x2(jnp.float32(0.3 + 1e-9), jnp.float32(0.3 + 1e-9)),  # sub-blur
+        inv2x2(jnp.float32(1.3), jnp.float32(0.3 + 1e-8)),         # needle
+        inv2x2(jnp.float32(2.0), jnp.float32(1.5)),                # normal
+    ])
+    comp, grads = jax.value_and_grad(
+        lambda c: jnp.sum(antialias_compensation(c)), allow_int=True
+    )(conics)
+    assert np.isfinite(float(comp))
+    assert np.isfinite(np.asarray(grads)).all()
+    # The normal splat keeps a meaningful compensation value.
+    vals = np.asarray(antialias_compensation(conics))
+    assert vals[2] > 0.5 and vals[0] < 0.05

@@ -235,9 +235,13 @@ def _sorted_intersections(
     # span. That start position rides the EXISTING span gather as one more
     # packed column (gather cost is width-independent on XLA:TPU) instead of
     # a second d1-sized scatter + cummax fill (scatter cost is per-index).
-    packed = jnp.concatenate(
-        [packed, starts1.astype(jnp.float32)[:, None]], axis=1
-    )
+    # f32 carries span indices exactly only below 2^24; at larger span
+    # capacities (~4M+ splats) fall back to a separate exact int32 gather.
+    start_in_packed = d1 < (1 << 24)
+    if start_in_packed:
+        packed = jnp.concatenate(
+            [packed, starts1.astype(jnp.float32)[:, None]], axis=1
+        )
     # (D1, k) row gather at SPAN granularity only; span_rank is monotone
     # (cummax fill), so tell XLA the indices are sorted. The gather runs on
     # an int16 bitcast view: XLA:TPU's gather emitter is ~2.3x faster on
@@ -248,8 +252,12 @@ def _sorted_intersections(
     sp_i16 = jnp.take(packed_i16, span_rank, axis=0, indices_are_sorted=True)
     sp = jax.lax.bitcast_convert_type(sp_i16.reshape(d1, k, 2), jnp.float32)
     sp_bx0 = sp[:, 2]
-    # f32 exact: span starts < d1 < 2^24.
-    row_idx = jnp.arange(d1, dtype=jnp.int32) - sp[:, k - 1].astype(jnp.int32)
+    if start_in_packed:  # f32 exact: span starts < d1 < 2^24
+        starts_sp = sp[:, k - 1].astype(jnp.int32)
+    else:  # huge-scene path: exact int32 gather of the span starts
+        starts_sp = jnp.take(starts1, span_rank, axis=0,
+                             indices_are_sorted=True)
+    row_idx = jnp.arange(d1, dtype=jnp.int32) - starts_sp
     tile_row = sp[:, 3] + row_idx.astype(jnp.float32)
     if clip:
         s_cx, s_cy = sp[:, 4], sp[:, 5]

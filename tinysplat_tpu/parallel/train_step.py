@@ -495,9 +495,11 @@ def make_sharded_train_step(
 
         if cfg.densify_strategy == "mcmc":
             # Same full-capacity noise as the single-device step (identical
-            # key -> identical eps), sliced to this device's FSDP rows:
-            # full row index = (t_idx * n_data + d_idx) * c_shard + local
-            # (the 'data' then 'tile' all_gathers concatenate in that order).
+            # key -> identical eps), sliced to this device's FSDP rows.
+            # Under P(("data", "tile")) capacity sharding, device (d, t)
+            # holds global block d * n_tile + t (row-major over the mesh
+            # axes tuple — verified empirically on a 2x2 shard_map), so the
+            # full row index is (d_idx * n_tile + t_idx) * c_shard + local.
             from ..models.densify_mcmc import apply_noise
             from ..train import means_lr_at
 
@@ -505,7 +507,7 @@ def make_sharded_train_step(
                 jax.random.fold_in(key, 1),
                 (c_shard * n_data * n_tile, 3), new_params.means.dtype,
             )
-            row0 = (t_idx * n_data + d_idx) * c_shard
+            row0 = (d_idx * n_tile + t_idx) * c_shard
             eps_local = jax.lax.dynamic_slice(eps_full, (row0, 0), (c_shard, 3))
             new_params = apply_noise(
                 new_params, state.alive, eps_local,

@@ -54,7 +54,13 @@ def antialias_compensation(conics: jax.Array) -> jax.Array:
     # det(Σ_blur - blur·I) via Σ_blur = [[c, -b], [-b, a]] / det_conic.
     det_orig = (c / safe - COV2D_BLUR) * (a / safe - COV2D_BLUR) - (b / safe) ** 2
     ratio = det_orig * safe  # det_orig / det_blur
-    return jnp.where(det_conic > 0, jnp.sqrt(jnp.clip(ratio, 0.0, 1.0)), 0.0)
+    # Clip floor must stay ABOVE zero: for needle splats det_orig is a
+    # difference of same-magnitude f32 terms and rounds negative ~half the
+    # time; sqrt'(0) = inf would then meet the clip's zero cotangent as
+    # inf * 0 = NaN and poison the conic/means gradients. With a positive
+    # floor the clamp's gradient is exactly 0 and sqrt is finite.
+    comp = jnp.sqrt(jnp.clip(ratio, 1e-8, 1.0))
+    return jnp.where(det_conic > 0, comp, 0.0)
 
 
 def resolve_rasterizer(name: str) -> str:

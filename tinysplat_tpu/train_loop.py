@@ -316,6 +316,10 @@ class Trainer:
                      self.state.capacity, int(self.state.num_live()))
             self._on_capacity_growth()  # reshard (mesh) + invalidate cache
             self._invalidate_step_cache()
+            # Compaction PERMUTES splat rows: a cached density probe's
+            # knn_idx would gather the wrong (or out-of-range) neighbors.
+            # Dropping it forces a rebuild at the next refresh check.
+            self.density_probe = None
 
     def _on_capacity_growth(self) -> None:
         """Hook after grow_capacity/grow_opt_state or compact_state
@@ -702,7 +706,9 @@ class Trainer:
             self._step_fns[key] = render_fn
         cam_params = camera.params()
         slot = self._pose_slot(camera)
-        if slot is not None:  # --pose-opt: eval/viewer uses refined poses
+        # --pose-opt: eval/viewer uses refined poses. (_pose_slot also
+        # returns slots when only --app-opt is on; there is no delta then.)
+        if slot is not None and self.pose_deltas is not None:
             from .cameras import apply_pose_delta
 
             cam_params = jax.jit(apply_pose_delta)(
