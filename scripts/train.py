@@ -71,9 +71,23 @@ def build_scene(cfg: Config):
         scene = Scene(cams, seed=cfg.seed)
         return scene, pcd
 
-    from tinysplat_tpu.data.dataset import Dataset
+    # Auto-detect a Blender/nerfstudio transforms.json scene; otherwise
+    # COLMAP (the reference's only format, dataset.py:13-114).
+    tj = None
+    for cand in ("transforms_train.json", "transforms.json"):
+        p = os.path.join(cfg.dataset_dir, cand)
+        if os.path.exists(p):
+            tj = p
+            break
+    if tj is not None:
+        from tinysplat_tpu.data.blender import BlenderDataset
 
-    dataset = Dataset(cfg.colmap_path, cfg.images_path)
+        dataset = BlenderDataset(tj, seed=cfg.seed,
+                                 num_init_points=cfg.random_init_points)
+    else:
+        from tinysplat_tpu.data.dataset import Dataset
+
+        dataset = Dataset(cfg.colmap_path, cfg.images_path)
     scene = Scene(dataset.cameras, seed=cfg.seed)
     return scene, dataset.pcd
 

@@ -110,6 +110,9 @@ class Config:
     # explicit values: dense | tiled | pallas.
     rasterizer: str = "auto"
     capacity: Optional[int] = None  # splat array capacity (None: auto)
+    # Random-init cloud size for datasets without SfM points (Blender /
+    # nerfstudio transforms.json scenes).
+    random_init_points: int = 50_000
     tile_size: int = 16
     # Static intersection budgets (0 = auto: 8*N total, 4096/tile). Shrink
     # dup_capacity toward ~1.25x the observed total_intersections to cut
