@@ -303,13 +303,26 @@ def _sorted_intersections(
     starts2 = ends2 - span_len
     total2 = ends2[-1]
     total = total2  # actual (clip-culled) intersections generated
+    # Budget diagnostics in ENTRY units: overflowed spans never materialize,
+    # so estimate their entries at the mean kept-span width (ceil). Feeding
+    # a raw span COUNT into dup_dropped made the auto-tuner's growth target
+    # undershoot by (mean_width - 1) entries per dropped span.
+    kept_spans = jnp.minimum(total_spans, jnp.int32(d1))
+    mean_w = jnp.where(
+        kept_spans > 0, -(-total2 // jnp.maximum(kept_spans, 1)), 1)
+    span_overflow = span_overflow * jnp.maximum(mean_w, 1)
     # Entry tile id via delta-cumsum: +1 inside a span; at each span start,
     # the jump from the previous span's last tile to this span's base.
     prev_end = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), (span_base + span_len - 1)[:-1]]
     )
     pos_ok = span_valid & (span_len > 0) & (starts2 < d2)
-    starts2_safe = jnp.where(pos_ok, starts2, d2)
+    # Invalid spans scatter to DISTINCT out-of-bounds slots (all dropped):
+    # valid starts are strictly increasing, so every index is unique and the
+    # unique_indices=True promise below is honest — a single shared d2
+    # sentinel would be undefined behavior under that promise.
+    starts2_safe = jnp.where(pos_ok, starts2,
+                             d2 + jnp.arange(d1, dtype=starts2.dtype))
     # The tile-id delta and the depth rank scatter to the SAME span-start
     # positions. When both fit one 32-bit word (rank in the high bits so the
     # cummax fill stays monotone; the signed delta biased into the low

@@ -79,8 +79,9 @@ def rasterize_tiled(
 ):
     """Rasterize to (H, W, C) image + (H, W) alpha; dense-oracle semantics.
 
-    With return_diagnostics, also returns {'intersections', 'dropped'}
-    device scalars (budget auto-tuning; fetch asynchronously).
+    With return_diagnostics, also returns {'intersections', 'dup_dropped',
+    'tile_dropped'} device scalars (budget auto-tuning; fetch
+    asynchronously).
     """
     tiles_x = (img_width + tile_size - 1) // tile_size
     tiles_y = (img_height + tile_size - 1) // tile_size

@@ -88,6 +88,11 @@ ROWS = 16  # attribute columns: [x, y, con_a, con_b, con_c, opac, c0..c3, 0..]
 GRAD_ROWS = 10  # leading attr columns that carry gradients
 TROWS = 128  # DMA-visible table width (ROWS padded to one lane tile)
 OUT_ROWS = 8  # output rows: [c0..c3, T_final, n_contrib, last_contrib, pad]
+# Backward fg block: only the rows the kernel actually reads, packed into
+# one f32 sublane group — [T_final, n_contrib, g_c0..g_c3, g_Tfinal, pad].
+# Shipping the full fwd_out+gout pair (16 rows) doubled the fg HBM traffic
+# for 9 dead rows.
+FG_ROWS = 8
 
 
 def _interpret() -> bool:
@@ -514,9 +519,9 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
                 starts, counts, nlive,
                 attrs_ref, fg_ref, dattrs_ref,
                 ibuf, isem, obuf, osem, carry, pstate, ostate):
-    """fg packs the forward outputs (rows 0:OUT_ROWS) and the composite
-    cotangent (rows OUT_ROWS:) per tile — one (TPB, 2*OUT_ROWS, P)
-    pipelined block per grid step.
+    """fg packs the LIVE rows of the forward outputs and the composite
+    cotangent per tile (FG_ROWS layout: [T_final, n_contrib, g_c0..g_c3,
+    g_Tfinal, pad]) — one (TPB, FG_ROWS, P) pipelined block per grid step.
 
     ostate (SMEM, 3): [out-DMA pending flag, its slot, its offset]. At most
     one output DMA is in flight; each store waits the previous one before
@@ -543,8 +548,8 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
 
         @pl.when(nl > 0)
         def _():
-            t_final = fg_ref[tt, 4:5, :]  # (1, P)
-            g_tfinal = fg_ref[tt, OUT_ROWS + 4 : OUT_ROWS + 5, :]
+            t_final = fg_ref[tt, 0:1, :]  # (1, P)
+            g_tfinal = fg_ref[tt, 6:7, :]
             carry[0:1, :] = t_final  # suffix transmittance carry
             carry[1:2, :] = g_tfinal * t_final  # s carry
 
@@ -611,7 +616,7 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     alpha, gx, gy, grad_ok = _alphas(attrs, px, py, ent < cnt)
 
     # Live prefix from the saved per-pixel contribution count.
-    n_contrib = fg_ref[tt, 5:6, :]  # (1, P)
+    n_contrib = fg_ref[tt, 1:2, :]  # (1, P)
     live = ent.astype(jnp.float32) < n_contrib  # (CHUNK, P)
     alpha = jnp.where(live, alpha, 0.0)
     om = 1.0 - alpha
@@ -629,7 +634,7 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     t_before = t_start * pm_excl  # (CHUNK, P) exclusive prefix
     wmat = alpha * t_before
 
-    g = fg_ref[tt, OUT_ROWS : OUT_ROWS + 4, :]  # (4, P) composite cotangent
+    g = fg_ref[tt, 2:6, :]  # (4, P) composite cotangent
     colors = attrs[:, 6:10]  # (CHUNK, 4)
     # Q[e, p] = sum_c colors[e, c] * g[c, p]
     q = jax.lax.dot_general(
@@ -739,7 +744,7 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int):
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (tpb, 2 * OUT_ROWS, P), lambda b, s, c, nl: (b, 0, 0)
+                    (tpb, FG_ROWS, P), lambda b, s, c, nl: (b, 0, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -770,9 +775,12 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int):
 
     def composite_bwd(res, gout):
         attrs_pad, tile_starts, counts, fwd_out = res
-        # (nt_pad, 2*OUT_ROWS, P); gout rows >= num_tiles are zero because
-        # the caller sliced the primal output to num_tiles.
-        fg = jnp.concatenate([fwd_out, gout], axis=1)
+        # (nt_pad, FG_ROWS, P) live-rows-only pack (see FG_ROWS layout);
+        # gout tiles >= num_tiles are zero because the caller sliced the
+        # primal output to num_tiles.
+        fg = jnp.concatenate(
+            [fwd_out[:, 4:6], gout[:, 0:5],
+             jnp.zeros((fwd_out.shape[0], 1, P), jnp.float32)], axis=1)
         # Per-tile LIVE window counts from the forward's last-contributor
         # ranks: windows past every pixel's last contributor carry zero
         # gradient and are never visited (saturated tails cost nothing).
@@ -830,12 +838,23 @@ def rasterize_pallas(
     row_stride: int = 1,
     row_offset=0,
     return_diagnostics: bool = False,
+    tile_size: int = TILE,
 ):
+    if tile_size != TILE:
+        # Every caller-side contract (band membership, Hl % tile_size,
+        # interleaved-row SSIM groups) is phrased in cfg.tile_size; a
+        # silent mismatch with the kernel's fixed 16px grid would scramble
+        # sharded renders with no error. Fail loudly instead.
+        raise NotImplementedError(
+            f"the Pallas rasterizer's tile grid is fixed at {TILE}px "
+            f"(VMEM sublane layout); got tile_size={tile_size} — use "
+            f"rasterizer='tiled' for other tile sizes")
     """Rasterize to (H, W, C<=4) image + (H, W) alpha; dense-oracle semantics.
 
     Drop-in for :func:`rasterize_tiled` (16x16 tiles only). With
-    return_diagnostics, also returns {'intersections', 'dropped'} device
-    scalars (budget auto-tuning; fetch asynchronously). ``grad_reduce``
+    return_diagnostics, also returns {'intersections', 'dup_dropped',
+    'tile_dropped'} device scalars (budget auto-tuning; fetch
+    asynchronously). ``grad_reduce``
     selects the entry-gradient -> splat-gradient reduction (module
     docstring); all three are numerically validated against the oracle.
     ``tiles_per_block`` amortizes the per-grid-step floor (kernel comments).

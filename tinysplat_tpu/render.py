@@ -184,7 +184,7 @@ def render(
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
             span_capacity=span_capacity, grad_reduce=grad_reduce,
             chunk=chunk, tiles_per_block=tiles_per_block,
-            return_diagnostics=True,
+            return_diagnostics=True, tile_size=tile_size,
         )
     else:
         raise ValueError(f"Unknown rasterizer backend: {rasterizer}")
