@@ -99,6 +99,9 @@ def main():
     p.add_argument("--cameras", type=int, default=36)
     p.add_argument("--holdout", type=int, default=9)  # every 9th -> 4 eval cams
     p.add_argument("--init-points", type=int, default=16000)
+    p.add_argument("--gt-max-per-tile", type=int, default=8192,
+                   help="GT render per-tile budget; raise for small "
+                        "resolutions where the dome collapses into few tiles")
     p.add_argument("--gt-rasterizer", default="tiled",
                    help="independent backend for GT frames (trainee: auto)")
     p.add_argument("--target-psnr", type=float, default=27.0)
@@ -147,7 +150,8 @@ def main():
                              active_sh_degree=jnp.int32(3),
                              background=jnp.zeros(3),
                              rasterizer=args.gt_rasterizer,
-                             dup_capacity=6_000_000, max_per_tile=8192,
+                             dup_capacity=6_000_000,
+                             max_per_tile=args.gt_max_per_tile,
                              span_capacity=2_000_000)
         d = extras["binning"]
         return rgb, d["dup_dropped"] + d["tile_dropped"]
