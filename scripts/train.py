@@ -87,7 +87,8 @@ def build_scene(cfg: Config):
     else:
         from tinysplat_tpu.data.dataset import Dataset
 
-        dataset = Dataset(cfg.colmap_path, cfg.images_path)
+        dataset = Dataset(cfg.colmap_path, cfg.images_path,
+                          max_image_dimension=cfg.max_image_dimension or None)
     scene = Scene(dataset.cameras, seed=cfg.seed)
     return scene, dataset.pcd
 

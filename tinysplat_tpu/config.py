@@ -113,6 +113,10 @@ class Config:
     # Random-init cloud size for datasets without SfM points (Blender /
     # nerfstudio transforms.json scenes).
     random_init_points: int = 50_000
+    # Cap the longer image side at load time (0 = native). The reference
+    # accepts max_image_dimension but never applies it (dataset.py:17);
+    # here it actually rescales cameras + images.
+    max_image_dimension: int = 0
     tile_size: int = 16
     # Static intersection budgets (0 = auto: 8*N total, 4096/tile). Shrink
     # dup_capacity toward ~1.25x the observed total_intersections to cut
