@@ -196,3 +196,60 @@ def test_profile_window_fires(tmp_path):
     tr.run(8)
     assert not getattr(tr, "_prof_on", False)  # window closed again
     assert os.path.isdir(os.path.join(str(tmp_path / "trace"), "plugins"))
+
+
+@pytest.mark.slow
+def test_trainer_kitchen_sink_integration():
+    """Every host-loop feature ON simultaneously: densify with forced
+    capacity growth, periodic compaction, coarse-to-fine, opacity reset,
+    pose + appearance optimization, antialiased rendering, the density
+    regularizer window, NaN guard, and checkpointing — 40 steps must stay
+    finite and structurally consistent. Features are unit-tested in
+    isolation elsewhere; this catches cross-feature interactions (e.g. a
+    compaction permuting rows under a cached density-probe knn)."""
+    import tempfile
+
+    scene = _toy_scene(n_cams=2, size=32)
+    with tempfile.TemporaryDirectory() as d:
+        cfg = Config(
+            rasterizer="tiled", sh_degree=1,
+            warmup_densify=4, densify_end=100, tau_means=0.0,
+            densify_scale_thresh=1e-6,           # force clone/split
+            compact_interval=17, compact_margin=1.25,
+            coarse_to_fine=True, c2f_start_scale=0.5, c2f_end=20,
+            interval_opacity_reset=15, epsilon_alpha=0.01,
+            pose_opt=True, lr_pose=1e-4, app_opt=True, lr_app=1e-3,
+            antialiased=True,
+            regularize_opacity=True, regularize_opacity_start=0,
+            regularize_opacity_end=100,
+            regularize_density=True, regularize_density_start=10,
+            regularize_density_end=30, density_samples=512,
+            nan_guard_interval=10,
+            save_checkpoints=True, checkpoint_interval=20,
+            checkpoint_dir=d, warmup_grad=0,
+        )
+        pcd = synthetic_pcd(24, seed=2)
+        state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=32)
+        # Start opaque: the density window's start-step prune drops
+        # sigmoid(opacity) < 0.5 (reference train.py:105-107 semantics,
+        # meant for late-stage saturated models) — a fresh 0.1-alpha init
+        # would be wiped out in this 40-step run.
+        state = dataclasses.replace(
+            state, params=dataclasses.replace(
+                state.params,
+                opacities=jnp.where(state.alive[:, None], 2.2,
+                                    state.params.opacities)))
+        tr = Trainer(cfg, scene, state)
+        tr.interval_densify = 5
+        tr.run(40)
+        assert tr.step == 40
+        assert np.isfinite(np.asarray(tr.state.params.means)).all()
+        assert int(tr.state.num_live()) > 0
+        # densify with tau 0 must have grown past the tiny start capacity
+        assert tr.state.capacity > 32
+        # pose/app tables moved (gradients reached the host Adam)
+        assert float(jnp.abs(tr.pose_deltas).sum()) > 0
+        assert float(jnp.abs(tr.app_params).sum()) > 0
+        # a checkpoint landed
+        import glob as _g
+        assert _g.glob(f"{d}/*.npz")
