@@ -253,3 +253,23 @@ def test_trainer_kitchen_sink_integration():
         # a checkpoint landed
         import glob as _g
         assert _g.glob(f"{d}/*.npz")
+
+
+def test_metrics_csv_sink(tmp_path):
+    """--metrics-file appends one epoch-mean CSV row per logging boundary."""
+    scene = _toy_scene(n_cams=2, size=32)
+    csv = tmp_path / "metrics.csv"
+    cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
+                 interval_opacity_reset=0, warmup_grad=0,
+                 metrics_file=str(csv))
+    pcd = synthetic_pcd(24, seed=2)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=32)
+    tr = Trainer(cfg, scene, state)
+    tr.run(4)  # 2 cameras -> 2 epoch boundaries
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0].startswith("step,")
+    assert len(lines) == 3  # header + 2 rows
+    header = lines[0].split(",")
+    assert "loss" in header and "psnr" in header
+    row = dict(zip(header, lines[1].split(",")))
+    assert float(row["loss"]) > 0

@@ -192,5 +192,8 @@ class Config:
     seed: int = 0
     synthetic: bool = False  # use a synthetic scene instead of COLMAP data
     log_interval: int = 0  # 0: per-epoch logging like the reference
+    # Machine-readable metrics sink: epoch-mean CSV rows appended here
+    # (process 0 only on multi-host runs; "" disables).
+    metrics_file: Optional[str] = None
     eval_holdout: int = 0  # hold out every k-th camera for eval (0 = none)
     eval_interval: int = 0  # evaluate held-out PSNR/SSIM every k steps

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import math
+import os
 import time
 from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
@@ -58,9 +59,14 @@ class Metrics:
     values kept as device arrays until the epoch boundary (no per-step sync).
     """
 
-    def __init__(self, num_cameras: int):
+    def __init__(self, num_cameras: int, csv_path: Optional[str] = None):
         self.num_cameras = max(num_cameras, 1)
         self._pending: Dict[str, list] = defaultdict(list)
+        # Optional machine-readable sink (cfg.metrics_file): one CSV row per
+        # epoch boundary, header grown from the first row's keys. The
+        # reference's only observability is tqdm.write (train.py:130-149).
+        self._csv_path = csv_path
+        self._csv_keys: Optional[list] = None
 
     def update(self, step: int, values: Dict[str, jax.Array]) -> None:
         for k, v in values.items():
@@ -70,12 +76,24 @@ class Metrics:
         if step % self.num_cameras != 0:
             return None
         parts = []
+        means: Dict[str, float] = {}
         for key, vals in self._pending.items():
             arr = np.asarray(jax.device_get(vals[-self.num_cameras :]))
-            parts.append(f"{key}: {float(arr.mean()):<10.4f}")
+            means[key] = float(arr.mean())
+            parts.append(f"{key}: {means[key]:<10.4f}")
         self._pending.clear()
         line = " | ".join(parts) + (f" | {extra}" if extra else "")
         log.info("step %d | %s", step, line)
+        if self._csv_path and means:
+            if self._csv_keys is None:
+                self._csv_keys = sorted(means)
+                if not os.path.exists(self._csv_path):
+                    with open(self._csv_path, "w") as f:
+                        f.write(",".join(["step"] + self._csv_keys) + "\n")
+            with open(self._csv_path, "a") as f:
+                f.write(",".join([str(step)] + [
+                    f"{means.get(k, float('nan')):.6g}" for k in self._csv_keys
+                ]) + "\n")
         return line
 
 
@@ -100,7 +118,13 @@ class Trainer:
         )
         self.step = start_step
         self.key = rng_key if rng_key is not None else jax.random.PRNGKey(cfg.seed)
-        self.metrics = Metrics(len(scene.cameras))
+        # CSV sink only on process 0 (multi-host: metrics are replicated).
+        self.metrics = Metrics(
+            len(scene.cameras),
+            csv_path=(cfg.metrics_file
+                      if cfg.metrics_file and jax.process_index() == 0
+                      else None),
+        )
         self.density_probe = None
         self._step_fns: Dict[tuple, object] = {}
         self._image_cache: Dict[tuple, jax.Array] = {}
