@@ -273,3 +273,35 @@ def test_metrics_csv_sink(tmp_path):
     assert "loss" in header and "psnr" in header
     row = dict(zip(header, lines[1].split(",")))
     assert float(row["loss"]) > 0
+
+
+def test_async_checkpoint_equivalence(tmp_path):
+    """--async-checkpoint writes the SAME bytes a sync save would (the
+    writer thread gets a device copy taken before the next donating step
+    invalidates the buffers) and run() joins the in-flight writer."""
+    from tinysplat_tpu.io.checkpoint import load_checkpoint
+
+    scene = _toy_scene(n_cams=2, size=32)
+    pcd = synthetic_pcd(24, seed=2)
+    mk = lambda: init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=32)
+    outs = {}
+    for mode in (False, True):
+        d = tmp_path / ("async" if mode else "sync")
+        cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
+                     interval_opacity_reset=0, warmup_grad=0,
+                     save_checkpoints=True, checkpoint_interval=2,
+                     checkpoint_dir=str(d), async_checkpoint=mode)
+        tr = Trainer(cfg, scene, mk())
+        tr.run(4)  # checkpoints at steps 2 and 4; run() joins the writer
+        files = sorted(p.name.split("-")[-1] for p in d.glob("*.npz"))
+        assert files == ["2.npz", "4.npz"], files
+        st, opt, step, key = load_checkpoint(
+            str(sorted(d.glob("*-4.npz"))[0]), cfg)
+        outs[mode] = (st, opt, step)
+    assert outs[False][2] == outs[True][2] == 4
+    for a, b in zip(jax.tree.leaves(outs[False][0]),
+                    jax.tree.leaves(outs[True][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(outs[False][1]),
+                    jax.tree.leaves(outs[True][1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -195,5 +195,9 @@ class Config:
     # Machine-readable metrics sink: epoch-mean CSV rows appended here
     # (process 0 only on multi-host runs; "" disables).
     metrics_file: Optional[str] = None
+    # Overlap checkpoint fetch+write with training via a writer thread
+    # (single-host .npz checkpoints; the multi-host sharded path stays
+    # synchronous — its barriers must run on the main thread).
+    async_checkpoint: bool = False
     eval_holdout: int = 0  # hold out every k-th camera for eval (0 = none)
     eval_interval: int = 0  # evaluate held-out PSNR/SSIM every k steps

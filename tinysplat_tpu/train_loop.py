@@ -131,6 +131,7 @@ class Trainer:
         self._guard_snapshot = None
         self._rollbacks = 0
         self._rollbacks_at_progress = 0
+        self._ckpt_thread = None  # in-flight --async-checkpoint writer
         # The reference overrides the densify interval to the camera count
         # at scripts/train.py:277.
         self.interval_densify = len(scene.cameras) or cfg.interval_densify
@@ -503,9 +504,42 @@ class Trainer:
                                "app_m": self._app_m, "app_v": self._app_v,
                                "app_cnt": self._app_cnt})
             extras = extras or None
-            save_checkpoint(path, self.state, self.opt_state, self.step,
-                            self.key, extras=extras)
-            log.info("saved checkpoint %s", path)
+            if cfg.async_checkpoint:
+                # Overlap the device fetch + file write with training: hand
+                # a DEVICE COPY to a writer thread (the train step donates
+                # its input buffers, so references to the live arrays would
+                # be invalidated mid-fetch) and serialize writers so saves
+                # land in order. jnp.copy is an HBM copy — microseconds
+                # against the seconds-scale fetch/write it unblocks.
+                import threading
+
+                snap = (jax.tree.map(jnp.copy, self.state),
+                        jax.tree.map(jnp.copy, self.opt_state),
+                        self.step, self.key)
+                prev = self._ckpt_thread
+
+                def work(snap=snap, path=path, extras=extras, prev=prev):
+                    if prev is not None:
+                        prev.join()
+                    save_checkpoint(path, snap[0], snap[1], snap[2], snap[3],
+                                    extras=extras)
+                    log.info("saved checkpoint %s (async)", path)
+
+                t = threading.Thread(target=work, daemon=True,
+                                     name=f"ckpt-{self.step}")
+                t.start()
+                self._ckpt_thread = t
+            else:
+                save_checkpoint(path, self.state, self.opt_state, self.step,
+                                self.key, extras=extras)
+                log.info("saved checkpoint %s", path)
+
+    def finish_checkpoints(self) -> None:
+        """Block until any in-flight async checkpoint write has landed."""
+        t = self._ckpt_thread
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
 
     # -- failure detection / rollback ------------------------------------------
 
@@ -566,6 +600,7 @@ class Trainer:
             self._maybe_profile_window()
             self.train_step()
             self._maybe_eval()
+        self.finish_checkpoints()
 
     def _maybe_profile_window(self) -> None:
         """--profile-steps N: trace steps [profile_start, profile_start+N)
@@ -609,6 +644,7 @@ class Trainer:
             await loop.run_in_executor(None, self.train_step)
             self._maybe_eval()
             await asyncio.sleep(0)
+        self.finish_checkpoints()
 
     def _maybe_eval(self) -> None:
         if (self.cfg.eval_interval and self.eval_cameras
