@@ -305,3 +305,21 @@ def test_async_checkpoint_equivalence(tmp_path):
     for a, b in zip(jax.tree.leaves(outs[False][1]),
                     jax.tree.leaves(outs[True][1])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefetch_images_warms_cache():
+    scene = _toy_scene(n_cams=3, size=32)
+    cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
+                 interval_opacity_reset=0, warmup_grad=0)
+    pcd = synthetic_pcd(24, seed=2)
+    state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=32)
+    tr = Trainer(cfg, scene, state)
+    tr.prefetch_images(workers=2)
+    import concurrent.futures as cf
+    cf.wait(tr._prefetch_futures, timeout=30)
+    assert len(tr._image_cache) == 3  # every camera pinned
+    # The cached entries are exactly what a lazy fetch would produce.
+    cam = scene.cameras[0]
+    np.testing.assert_array_equal(
+        np.asarray(tr._device_image(cam, cam.width, cam.height)),
+        np.asarray(cam.get_original_image((cam.width, cam.height))))

@@ -199,5 +199,8 @@ class Config:
     # (single-host .npz checkpoints; the multi-host sharded path stays
     # synchronous — its barriers must run on the main thread).
     async_checkpoint: bool = False
+    # Warm the HBM image cache on a thread pool at run() start, hiding the
+    # first epoch's per-step decode+upload behind the first compile.
+    prefetch_images: bool = True
     eval_holdout: int = 0  # hold out every k-th camera for eval (0 = none)
     eval_interval: int = 0  # evaluate held-out PSNR/SSIM every k steps

@@ -132,6 +132,7 @@ class Trainer:
         self._rollbacks = 0
         self._rollbacks_at_progress = 0
         self._ckpt_thread = None  # in-flight --async-checkpoint writer
+        self._prefetched = False  # one-shot image-prefetch guard
         # The reference overrides the densify interval to the camera count
         # at scripts/train.py:277.
         self.interval_densify = len(scene.cameras) or cfg.interval_densify
@@ -219,6 +220,34 @@ class Trainer:
             )
             self._image_cache[key] = img
         return img
+
+    def prefetch_images(self, workers: int = 4) -> None:
+        """Warm the HBM image cache concurrently (cfg.prefetch_images).
+
+        Without it the first epoch pays per-step PIL decode + resize +
+        host->device upload for every camera; run() fires this once so the
+        whole set decodes on a thread pool WHILE the first train-step
+        compile runs (30s+ on TPU) — by the time step 1 dispatches, the
+        uploads are done. Each thread touches a distinct camera, so the
+        dict cache is race-free (worst case a key is computed twice)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cams = list(self.scene.cameras)
+        if not cams or self._prefetched:
+            return
+        self._prefetched = True
+        h, w = self._c2f_dims(cams[0])
+
+        def warm(cam):
+            ch, cw = self._c2f_dims(cam)
+            self._device_image(cam, cw, ch)
+            if (ch, cw) != (cam.height, cam.width):  # full res used later
+                self._device_image(cam, cam.width, cam.height)
+
+        pool = ThreadPoolExecutor(max_workers=workers,
+                                  thread_name_prefix="img-prefetch")
+        self._prefetch_futures = [pool.submit(warm, c) for c in cams]
+        pool.shutdown(wait=False)
 
     # -- coarse-to-fine resolution schedule --------------------------------------
 
@@ -596,6 +625,8 @@ class Trainer:
 
     def run(self, max_iter: Optional[int] = None) -> None:
         end = max_iter if max_iter is not None else self.cfg.max_iter
+        if self.cfg.prefetch_images and jax.process_count() == 1:
+            self.prefetch_images()
         while self.step < end:
             self._maybe_profile_window()
             self.train_step()
@@ -639,6 +670,8 @@ class Trainer:
 
         loop = asyncio.get_running_loop()
         end = max_iter if max_iter is not None else self.cfg.max_iter
+        if self.cfg.prefetch_images and jax.process_count() == 1:
+            self.prefetch_images()
         while self.step < end:
             self._maybe_profile_window()
             await loop.run_in_executor(None, self.train_step)
