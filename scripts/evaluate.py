@@ -50,7 +50,7 @@ def main():
         from tinysplat_tpu.config import Config
         from train import build_scene
 
-        scene, _ = build_scene(Config(synthetic=True))
+        scene, _, _ = build_scene(Config(synthetic=True))
         cams = scene.cameras
     else:
         from tinysplat_tpu.data.dataset import Dataset

@@ -38,7 +38,9 @@ def arg_parser() -> argparse.ArgumentParser:
 
 
 def build_scene(cfg: Config):
-    """Dataset -> (scene, initial state). Synthetic path has no COLMAP dep."""
+    """Dataset -> (scene, pcd, cfg). Synthetic path has no COLMAP dep; the
+    returned cfg may carry dataset-driven defaults (e.g. a fixed white
+    background for transforms.json scenes)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -69,28 +71,41 @@ def build_scene(cfg: Config):
             cam._image = np.asarray(rgb)
         pcd = synthetic_pcd(500, seed=1)
         scene = Scene(cams, seed=cfg.seed)
-        return scene, pcd
+        return scene, pcd, cfg
 
-    # Auto-detect a Blender/nerfstudio transforms.json scene; otherwise
-    # COLMAP (the reference's only format, dataset.py:13-114).
+    # COLMAP first when a sparse reconstruction exists (nerfstudio exports
+    # often ship BOTH transforms.json and colmap/ — SfM points beat a
+    # random init cloud); otherwise auto-detect transforms*.json.
     tj = None
     for cand in ("transforms_train.json", "transforms.json"):
         p = os.path.join(cfg.dataset_dir, cand)
         if os.path.exists(p):
             tj = p
             break
-    if tj is not None:
-        from tinysplat_tpu.data.blender import BlenderDataset
-
-        dataset = BlenderDataset(tj, seed=cfg.seed,
-                                 num_init_points=cfg.random_init_points)
-    else:
+    if os.path.isdir(cfg.colmap_path) or tj is None:
         from tinysplat_tpu.data.dataset import Dataset
 
         dataset = Dataset(cfg.colmap_path, cfg.images_path,
                           max_image_dimension=cfg.max_image_dimension or None)
+    else:
+        from tinysplat_tpu.data.blender import BlenderDataset
+
+        if cfg.background == "random":
+            # RGBA GT frames are composited onto a FIXED color at load; a
+            # per-step random training background would force the model to
+            # build an opaque backdrop shell. White is the NeRF-synthetic
+            # convention; pass --background black to override.
+            logging.getLogger(__name__).info(
+                "transforms.json scene: training background set to 'white' "
+                "to match GT compositing (--background overrides)")
+            cfg = dataclasses.replace(cfg, background="white")
+        bg = (0.0, 0.0, 0.0) if cfg.background == "black" else (1.0, 1.0, 1.0)
+        dataset = BlenderDataset(
+            tj, seed=cfg.seed, num_init_points=cfg.random_init_points,
+            background=bg,
+            max_image_dimension=cfg.max_image_dimension or None)
     scene = Scene(dataset.cameras, seed=cfg.seed)
-    return scene, dataset.pcd
+    return scene, dataset.pcd, cfg
 
 
 async def main() -> None:
@@ -126,7 +141,7 @@ async def main() -> None:
     from tinysplat_tpu.models.gaussians import init_from_pcd
     from tinysplat_tpu.train_loop import Trainer
 
-    scene, pcd = build_scene(cfg)
+    scene, pcd, cfg = build_scene(cfg)
 
     eval_cameras = []
     if cfg.eval_holdout > 1:

@@ -202,5 +202,10 @@ class Config:
     # Warm the HBM image cache on a thread pool at run() start, hiding the
     # first epoch's per-step decode+upload behind the first compile.
     prefetch_images: bool = True
+    # Training background: "random" per step (reference train.py:51 — keeps
+    # the model from painting the backdrop), or a fixed "black"/"white"
+    # (match Blender/NeRF-synthetic GT compositing). Held-out eval renders
+    # on the fixed color, or black under "random".
+    background: str = "random"
     eval_holdout: int = 0  # hold out every k-th camera for eval (0 = none)
     eval_interval: int = 0  # evaluate held-out PSNR/SSIM every k steps

@@ -7,8 +7,11 @@ both dialects:
 - **Blender / NeRF-synthetic**: global ``camera_angle_x``, frames with
   extensionless ``file_path`` (``.png`` appended), RGBA renders composited
   onto a background color, OpenGL camera-to-world ``transform_matrix``.
-- **nerfstudio**: explicit ``fl_x/fl_y/cx/cy/w/h`` intrinsics (global or
-  per-frame), ``file_path`` with extension.
+- **nerfstudio**: explicit ``fl_x/fl_y/w/h`` intrinsics (global or
+  per-frame), ``file_path`` with extension. An off-center principal point
+  (``cx/cy``) and lens-distortion parameters are NOT modeled — projection
+  assumes the image center, matching the reference's focal-only handling
+  (dataset.py:53-55); a warning fires when ``cx/cy`` deviate >1%.
 
 ``transform_matrix`` is camera-to-world in the OpenGL convention (camera
 looks down -Z, Y up); the framework's cameras use the COLMAP/OpenCV
@@ -75,8 +78,13 @@ class BlenderDataset:
         background: Sequence[float] = (1.0, 1.0, 1.0),
         num_init_points: int = 50_000,
         seed: int = 0,
+        max_image_dimension: Optional[int] = None,
     ):
+        import logging
+
         from PIL import Image
+
+        log = logging.getLogger(__name__)
 
         if os.path.isdir(path):
             for cand in ("transforms_train.json", "transforms.json"):
@@ -113,6 +121,28 @@ class BlenderDataset:
                 fl_y = (0.5 * h / math.tan(0.5 * float(ay))) if ay else fl_x
             fov_x = 2.0 * math.atan(w / (2.0 * float(fl_x)))
             fov_y = 2.0 * math.atan(h / (2.0 * float(fl_y)))
+
+            # An off-center principal point (cx/cy, common in real
+            # nerfstudio captures) is NOT modeled — projection assumes the
+            # image center, as the reference does (dataset.py:53-55 only
+            # rescales focal). Warn once so shifted projections are not a
+            # silent mystery. Distortion params are likewise ignored
+            # (undistort with ns-process-data / COLMAP first).
+            cx, cy = intr("cx"), intr("cy")
+            if cx is not None and cy is not None and not getattr(
+                    self, "_warned_pp", False):
+                if abs(cx / w - 0.5) > 0.01 or abs(cy / h - 0.5) > 0.01:
+                    log.warning(
+                        "transforms.json principal point (%.1f, %.1f) is "
+                        "off-center for %dx%d; projection assumes the image "
+                        "center — expect a systematic shift (undistort/"
+                        "re-center the capture first)", cx, cy, w, h)
+                    self._warned_pp = True
+
+            if max_image_dimension and max(w, h) > max_image_dimension:
+                s = max_image_dimension / max(w, h)
+                w, h = int(w * s), int(h * s)
+                fl_x, fl_y = fl_x * s, fl_y * s  # fov unchanged
 
             # RGBA needs eager compositing; RGB stays a lazy PIL handle.
             image = pil

@@ -840,15 +840,6 @@ def rasterize_pallas(
     return_diagnostics: bool = False,
     tile_size: int = TILE,
 ):
-    if tile_size != TILE:
-        # Every caller-side contract (band membership, Hl % tile_size,
-        # interleaved-row SSIM groups) is phrased in cfg.tile_size; a
-        # silent mismatch with the kernel's fixed 16px grid would scramble
-        # sharded renders with no error. Fail loudly instead.
-        raise NotImplementedError(
-            f"the Pallas rasterizer's tile grid is fixed at {TILE}px "
-            f"(VMEM sublane layout); got tile_size={tile_size} — use "
-            f"rasterizer='tiled' for other tile sizes")
     """Rasterize to (H, W, C<=4) image + (H, W) alpha; dense-oracle semantics.
 
     Drop-in for :func:`rasterize_tiled` (16x16 tiles only). With
@@ -859,6 +850,15 @@ def rasterize_pallas(
     docstring); all three are numerically validated against the oracle.
     ``tiles_per_block`` amortizes the per-grid-step floor (kernel comments).
     """
+    if tile_size != TILE:
+        # Every caller-side contract (band membership, Hl % tile_size,
+        # interleaved-row SSIM groups) is phrased in cfg.tile_size; a
+        # silent mismatch with the kernel's fixed 16px grid would scramble
+        # sharded renders with no error. Fail loudly instead.
+        raise NotImplementedError(
+            f"the Pallas rasterizer's tile grid is fixed at {TILE}px "
+            f"(VMEM sublane layout); got tile_size={tile_size} — use "
+            f"rasterizer='tiled' for other tile sizes")
     n = xys.shape[0]
     c = colors.shape[-1]
     assert c <= 4, "pallas kernel composites up to 4 channels (RGB+D)"

@@ -294,7 +294,9 @@ def make_sharded_train_step(
             jnp.int32(cfg.sh_degree),
             jnp.int32(1) + (step // cfg.sh_increment_interval).astype(jnp.int32),
         )
-        background = jax.random.uniform(key, (3,))
+        from ..train import _resolve_background
+
+        background = _resolve_background(cfg, key)
         bg4 = jnp.concatenate([background, background[:1]])
 
         alive_col = jax.lax.all_gather(state.alive, "data", tiled=True)

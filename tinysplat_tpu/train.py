@@ -32,6 +32,21 @@ from .ops.ssim import ssim, psnr
 from .render import render
 
 
+def _resolve_background(cfg: Config, key: jax.Array) -> jax.Array:
+    """Per-step training background: random (reference train.py:51) or the
+    fixed color GT frames were composited onto (cfg.background)."""
+    if cfg.background == "white":
+        return jnp.ones((3,))
+    if cfg.background == "black":
+        return jnp.zeros((3,))
+    return jax.random.uniform(key, (3,))
+
+
+def fixed_background(cfg: Config) -> jax.Array:
+    """Eval/viewer background: the fixed training color, black otherwise."""
+    return (jnp.ones(3) if cfg.background == "white" else jnp.zeros(3))
+
+
 def lr_tree(cfg: Config) -> GaussianParams:
     """Per-parameter learning rates as a GaussianParams-shaped pytree."""
     return GaussianParams(
@@ -262,8 +277,11 @@ def make_train_step(cfg: Config, img_height: int, img_width: int, optimizer=None
         )
         state = dataclasses.replace(state, active_sh_degree=active_deg)
 
-        # Random background each step (train.py:51).
-        background = jax.random.uniform(key, (3,))
+        # Random background each step (train.py:51), or the fixed color the
+        # GT frames were composited onto (--background black|white —
+        # Blender/NeRF-synthetic scenes; a mismatched backdrop wastes splat
+        # capacity on an opaque shell).
+        background = _resolve_background(cfg, key)
 
         probe = jnp.zeros((state.capacity, 2), gt_image.dtype)
         use_pose = cfg.pose_opt and pose_delta is not None

@@ -87,9 +87,24 @@ class Metrics:
         if self._csv_path and means:
             if self._csv_keys is None:
                 self._csv_keys = sorted(means)
-                if not os.path.exists(self._csv_path):
+                header = ",".join(["step"] + self._csv_keys)
+                if os.path.exists(self._csv_path):
+                    # Resuming into an existing file: appending rows in a
+                    # DIFFERENT key order would silently misalign columns.
+                    # Adopt a matching header; rotate a mismatched file.
+                    with open(self._csv_path) as f:
+                        old = f.readline().strip()
+                    if old != header:
+                        bak = self._csv_path + ".old"
+                        os.replace(self._csv_path, bak)
+                        log.warning(
+                            "metrics file key set changed; previous rows "
+                            "moved to %s", bak)
+                        with open(self._csv_path, "w") as f:
+                            f.write(header + "\n")
+                else:
                     with open(self._csv_path, "w") as f:
-                        f.write(",".join(["step"] + self._csv_keys) + "\n")
+                        f.write(header + "\n")
             with open(self._csv_path, "a") as f:
                 f.write(",".join([str(step)] + [
                     f"{means.get(k, float('nan')):.6g}" for k in self._csv_keys
@@ -132,7 +147,13 @@ class Trainer:
         self._rollbacks = 0
         self._rollbacks_at_progress = 0
         self._ckpt_thread = None  # in-flight --async-checkpoint writer
+        self._ckpt_error = None  # failed writer's exception (re-raised)
         self._prefetched = False  # one-shot image-prefetch guard
+        import threading
+
+        # Per-camera decode locks (prefetch pool vs main thread; PIL's
+        # lazy load() is not thread-safe).
+        self._decode_lock = defaultdict(threading.Lock)
         # The reference overrides the densify interval to the camera count
         # at scripts/train.py:277.
         self.interval_densify = len(scene.cameras) or cfg.interval_densify
@@ -215,10 +236,17 @@ class Trainer:
         key = (camera.name, w, h)
         img = self._image_cache.get(key)
         if img is None:
-            img = jax.device_put(
-                jnp.asarray(camera.get_original_image((w, h)))
-            )
-            self._image_cache[key] = img
+            # Per-camera decode lock: the prefetch pool and the main thread
+            # can miss the cache for the SAME camera concurrently, and
+            # Camera's lazy PIL decode mutates shared state (PIL load() is
+            # not thread-safe — interleaved reads corrupt the frame).
+            with self._decode_lock[camera.name]:
+                img = self._image_cache.get(key)
+                if img is None:
+                    img = jax.device_put(
+                        jnp.asarray(camera.get_original_image((w, h)))
+                    )
+                    self._image_cache[key] = img
         return img
 
     def prefetch_images(self, workers: int = 4) -> None:
@@ -228,15 +256,15 @@ class Trainer:
         host->device upload for every camera; run() fires this once so the
         whole set decodes on a thread pool WHILE the first train-step
         compile runs (30s+ on TPU) — by the time step 1 dispatches, the
-        uploads are done. Each thread touches a distinct camera, so the
-        dict cache is race-free (worst case a key is computed twice)."""
+        uploads are done. The main thread can still request a camera the
+        pool is warming; _device_image's per-camera decode lock serializes
+        exactly those collisions."""
         from concurrent.futures import ThreadPoolExecutor
 
         cams = list(self.scene.cameras)
         if not cams or self._prefetched:
             return
         self._prefetched = True
-        h, w = self._c2f_dims(cams[0])
 
         def warm(cam):
             ch, cw = self._c2f_dims(cam)
@@ -537,22 +565,24 @@ class Trainer:
                 # Overlap the device fetch + file write with training: hand
                 # a DEVICE COPY to a writer thread (the train step donates
                 # its input buffers, so references to the live arrays would
-                # be invalidated mid-fetch) and serialize writers so saves
-                # land in order. jnp.copy is an HBM copy — microseconds
-                # against the seconds-scale fetch/write it unblocks.
+                # be invalidated mid-fetch). At most ONE write is in flight:
+                # joining the previous writer BEFORE taking a new snapshot
+                # bounds HBM at one extra state copy and applies natural
+                # backpressure when the disk is slower than the interval.
                 import threading
 
+                self.finish_checkpoints()  # join + surface writer errors
                 snap = (jax.tree.map(jnp.copy, self.state),
                         jax.tree.map(jnp.copy, self.opt_state),
                         self.step, self.key)
-                prev = self._ckpt_thread
 
-                def work(snap=snap, path=path, extras=extras, prev=prev):
-                    if prev is not None:
-                        prev.join()
-                    save_checkpoint(path, snap[0], snap[1], snap[2], snap[3],
-                                    extras=extras)
-                    log.info("saved checkpoint %s (async)", path)
+                def work(snap=snap, path=path, extras=extras):
+                    try:
+                        save_checkpoint(path, snap[0], snap[1], snap[2],
+                                        snap[3], extras=extras)
+                        log.info("saved checkpoint %s (async)", path)
+                    except BaseException as e:  # surfaced at the next join
+                        self._ckpt_error = e
 
                 t = threading.Thread(target=work, daemon=True,
                                      name=f"ckpt-{self.step}")
@@ -564,11 +594,18 @@ class Trainer:
                 log.info("saved checkpoint %s", path)
 
     def finish_checkpoints(self) -> None:
-        """Block until any in-flight async checkpoint write has landed."""
+        """Block until any in-flight async checkpoint write has landed.
+
+        Re-raises a failed writer's exception (disk full, permissions) —
+        silently "succeeding" without the .npz would defeat the feature."""
         t = self._ckpt_thread
         if t is not None:
             t.join()
             self._ckpt_thread = None
+        err = self._ckpt_error
+        if err is not None:
+            self._ckpt_error = None
+            raise RuntimeError("async checkpoint write failed") from err
 
     # -- failure detection / rollback ------------------------------------------
 
@@ -627,11 +664,16 @@ class Trainer:
         end = max_iter if max_iter is not None else self.cfg.max_iter
         if self.cfg.prefetch_images and jax.process_count() == 1:
             self.prefetch_images()
-        while self.step < end:
-            self._maybe_profile_window()
-            self.train_step()
-            self._maybe_eval()
-        self.finish_checkpoints()
+        try:
+            while self.step < end:
+                self._maybe_profile_window()
+                self.train_step()
+                self._maybe_eval()
+        finally:
+            # Land (or surface the failure of) any in-flight async
+            # checkpoint even when training raises — the checkpoint you
+            # need most is the one before a crash.
+            self.finish_checkpoints()
 
     def _maybe_profile_window(self) -> None:
         """--profile-steps N: trace steps [profile_start, profile_start+N)
@@ -672,12 +714,14 @@ class Trainer:
         end = max_iter if max_iter is not None else self.cfg.max_iter
         if self.cfg.prefetch_images and jax.process_count() == 1:
             self.prefetch_images()
-        while self.step < end:
-            self._maybe_profile_window()
-            await loop.run_in_executor(None, self.train_step)
-            self._maybe_eval()
-            await asyncio.sleep(0)
-        self.finish_checkpoints()
+        try:
+            while self.step < end:
+                self._maybe_profile_window()
+                await loop.run_in_executor(None, self.train_step)
+                self._maybe_eval()
+                await asyncio.sleep(0)
+        finally:
+            self.finish_checkpoints()
 
     def _maybe_eval(self) -> None:
         if (self.cfg.eval_interval and self.eval_cameras
@@ -755,9 +799,12 @@ class Trainer:
         cams = cameras if cameras is not None else self.eval_cameras
         if not cams:
             return {}
+        from .train import fixed_background
+
+        bg = fixed_background(self.cfg)  # match fixed-bg GT compositing
         psnrs, ssims = [], []
         for cam in cams:
-            rgb, _ = self.render_camera(cam)
+            rgb, _ = self.render_camera(cam, background=bg)
             gt = jnp.asarray(cam.get_original_image((cam.width, cam.height)))
             psnrs.append(psnr_fn(rgb, gt))
             ssims.append(ssim_fn(rgb, gt))
