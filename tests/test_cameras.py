@@ -68,3 +68,50 @@ def test_rescale():
     cam = make_camera(width=64, height=48)
     cam.rescale(0.5)
     assert cam.width == 32 and cam.height == 24
+
+
+def test_principal_point_offset_shifts_render():
+    """An off-center principal point (cx_off) must translate the rendered
+    image by exactly that many pixels (ndc2pix shift), and project_points /
+    backproject_points must stay a round-trip under the offset."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tinysplat_tpu.data.synthetic import orbit_cameras, random_gaussian_cloud
+    from tinysplat_tpu.models.gaussians import init_from_pcd
+    from tinysplat_tpu.render import render
+
+    size, shift = 64, 8
+    cam_c = orbit_cameras(1, width=size, height=size)[0]
+    means, log_scales, quats, colors, opac = random_gaussian_cloud(40, seed=3)
+    st = init_from_pcd(means, colors * 255, sh_degree=1, capacity=64)
+
+    base = cam_c.params()
+    shifted = dataclasses.replace(base, cx_off=jnp.float32(shift))
+    rgb_c, _ = render(st.params, st.alive, base, size, size, jnp.int32(1),
+                      jnp.zeros(3), rasterizer="tiled")
+    rgb_s, _ = render(st.params, st.alive, shifted, size, size, jnp.int32(1),
+                      jnp.zeros(3), rasterizer="tiled")
+    # Shifted-pp render == centered render translated right by `shift`
+    # (interior columns; the wrap-in band is excluded).
+    np.testing.assert_allclose(np.asarray(rgb_s[:, shift:]),
+                               np.asarray(rgb_c[:, :-shift]), atol=2e-5)
+
+    # Camera-level pp: absolute cx -> the same render shift.
+    cam_pp = orbit_cameras(1, width=size, height=size)[0]
+    cam_pp.cx_off = float(shift)
+    np.testing.assert_allclose(
+        np.asarray(render(st.params, st.alive, cam_pp.params(), size, size,
+                          jnp.int32(1), jnp.zeros(3), rasterizer="tiled")[0]),
+        np.asarray(rgb_s), atol=1e-6)
+
+    # project/backproject round-trip honors the offset.
+    pts = np.asarray(means[:8], np.float32)
+    scr = cam_pp.project_points(pts, return_depth=False)
+    scr_c = cam_c.project_points(pts, return_depth=False)
+    np.testing.assert_allclose(np.asarray(scr[:, 0]),
+                               np.asarray(scr_c[:, 0]) + shift, atol=1e-4)
+    back = cam_pp.backproject_points(  # scr[:, 2] is NDC z already
+        np.asarray(scr), scale_depth=False)
+    np.testing.assert_allclose(np.asarray(back), pts, atol=1e-3)

@@ -40,6 +40,13 @@ class CameraParams:
     cam_pos: jax.Array  # (3,) camera center in world coordinates
     fx: jax.Array  # () focal length x in pixels
     fy: jax.Array  # () focal length y in pixels
+    # Principal-point offset from the image center, in pixels at this
+    # params' resolution (0 = centered). Real captures (nerfstudio cx/cy)
+    # are rarely exactly centered; the offset shifts the projected splat
+    # centers (ndc2pix cx/cy) — beyond the reference, which assumes the
+    # center and only rescales focals (dataset.py:53-55).
+    cx_off: jax.Array = 0.0
+    cy_off: jax.Array = 0.0
 
     @property
     def full_projmat(self) -> jax.Array:
@@ -131,6 +138,8 @@ class Camera:
         width: Optional[int] = None,
         height: Optional[int] = None,
         name: Optional[str] = None,
+        cx: Optional[float] = None,
+        cy: Optional[float] = None,
     ):
         Camera._ids += 1
         self.id = Camera._ids
@@ -162,6 +171,11 @@ class Camera:
             self.width = int(width)
         if height is not None:
             self.height = int(height)
+
+        # Principal-point offset (pixels at THIS width/height, which are
+        # final by here): absolute cx/cy minus the image center.
+        self.cx_off = float(cx) - self.width / 2.0 if cx is not None else 0.0
+        self.cy_off = float(cy) - self.height / 2.0 if cy is not None else 0.0
 
         if view_matrix is not None:
             self.view_matrix = np.asarray(view_matrix, dtype=np.float32)
@@ -196,6 +210,8 @@ class Camera:
         self.height = int(self.height * factor)
         self.fov_x *= factor
         self.fov_y *= factor
+        self.cx_off *= factor  # pixel-space offset scales with resolution
+        self.cy_off *= factor
         self.update_proj_matrix(self.fov_x, self.fov_y)
 
     # -- traced view ---------------------------------------------------------
@@ -207,6 +223,8 @@ class Camera:
             cam_pos=jnp.asarray(self.position),
             fx=jnp.float32(self.f_x),
             fy=jnp.float32(self.f_y),
+            cx_off=jnp.float32(self.cx_off),
+            cy_off=jnp.float32(self.cy_off),
         )
 
     @property
@@ -265,8 +283,8 @@ class Camera:
         else:
             out = (clip / clip[:, 3:4])[:, :3]
         if screen_coordinates:
-            c_x = self.width // 2
-            c_y = self.height // 2
+            c_x = self.width // 2 + self.cx_off
+            c_y = self.height // 2 + self.cy_off
             x = 0.5 * self.width * out[:, 0] - 0.5 + c_x
             y = 0.5 * self.height * out[:, 1] - 0.5 + c_y
             out = jnp.stack([x, y, out[:, 2]], axis=1)
@@ -288,8 +306,8 @@ class Camera:
             f2 = self.proj_matrix[2, 3]
             z = (f1 * points[:, 2] + f2) / points[:, 2]
         if screen_coordinates:
-            c_x = self.width // 2
-            c_y = self.height // 2
+            c_x = self.width // 2 + self.cx_off
+            c_y = self.height // 2 + self.cy_off
             x = (points[:, 0] + 0.5 - c_x) / self.width * 2
             y = (points[:, 1] + 0.5 - c_y) / self.height * 2
         hom = jnp.stack([x, y, z, jnp.ones_like(x)], axis=1)

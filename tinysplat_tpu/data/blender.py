@@ -7,11 +7,12 @@ both dialects:
 - **Blender / NeRF-synthetic**: global ``camera_angle_x``, frames with
   extensionless ``file_path`` (``.png`` appended), RGBA renders composited
   onto a background color, OpenGL camera-to-world ``transform_matrix``.
-- **nerfstudio**: explicit ``fl_x/fl_y/w/h`` intrinsics (global or
+- **nerfstudio**: explicit ``fl_x/fl_y/cx/cy/w/h`` intrinsics (global or
   per-frame), ``file_path`` with extension. An off-center principal point
-  (``cx/cy``) and lens-distortion parameters are NOT modeled — projection
-  assumes the image center, matching the reference's focal-only handling
-  (dataset.py:53-55); a warning fires when ``cx/cy`` deviate >1%.
+  maps to the Camera's pixel-space ``cx_off/cy_off`` (beyond the
+  reference, which assumes the image center and only rescales focals,
+  dataset.py:53-55). Lens-distortion parameters are NOT modeled — a
+  warning fires; undistort the capture first.
 
 ``transform_matrix`` is camera-to-world in the OpenGL convention (camera
 looks down -Z, Y up); the framework's cameras use the COLMAP/OpenCV
@@ -122,27 +123,24 @@ class BlenderDataset:
             fov_x = 2.0 * math.atan(w / (2.0 * float(fl_x)))
             fov_y = 2.0 * math.atan(h / (2.0 * float(fl_y)))
 
-            # An off-center principal point (cx/cy, common in real
-            # nerfstudio captures) is NOT modeled — projection assumes the
-            # image center, as the reference does (dataset.py:53-55 only
-            # rescales focal). Warn once so shifted projections are not a
-            # silent mystery. Distortion params are likewise ignored
-            # (undistort with ns-process-data / COLMAP first).
+            # Off-center principal point (nerfstudio cx/cy): modeled as a
+            # pixel offset on the Camera (shifts projected splat centers).
+            # Lens-distortion parameters are NOT modeled — undistort with
+            # ns-process-data / COLMAP first.
             cx, cy = intr("cx"), intr("cy")
-            if cx is not None and cy is not None and not getattr(
-                    self, "_warned_pp", False):
-                if abs(cx / w - 0.5) > 0.01 or abs(cy / h - 0.5) > 0.01:
+            if frame is meta["frames"][0] and any(
+                    k in meta or k in frame for k in ("k1", "k2", "p1", "p2")):
+                if any(float(intr(k) or 0.0) for k in ("k1", "k2", "p1", "p2")):
                     log.warning(
-                        "transforms.json principal point (%.1f, %.1f) is "
-                        "off-center for %dx%d; projection assumes the image "
-                        "center — expect a systematic shift (undistort/"
-                        "re-center the capture first)", cx, cy, w, h)
-                    self._warned_pp = True
+                        "transforms.json carries lens-distortion parameters; "
+                        "they are ignored — undistort the capture first")
 
             if max_image_dimension and max(w, h) > max_image_dimension:
                 s = max_image_dimension / max(w, h)
                 w, h = int(w * s), int(h * s)
                 fl_x, fl_y = fl_x * s, fl_y * s  # fov unchanged
+                if cx is not None:
+                    cx, cy = float(cx) * s, float(cy) * s
 
             # RGBA needs eager compositing; RGB stays a lazy PIL handle.
             image = pil
@@ -156,6 +154,8 @@ class BlenderDataset:
                 fov_x=fov_x, fov_y=fov_y,
                 view_matrix=view.astype(np.float32),
                 image=image, width=w, height=h,
+                cx=(float(cx) if cx is not None else None),
+                cy=(float(cy) if cy is not None else None),
                 name=os.path.splitext(os.path.basename(
                     frame["file_path"]))[0],
             ))

@@ -85,8 +85,8 @@ def _project_batch(params: GaussianParams, cams: CameraParams, H: int, W: int, t
             full_projmat=cam.projmat @ cam.viewmat,
             fx=cam.fx,
             fy=cam.fy,
-            cx=W / 2.0,
-            cy=H / 2.0,
+            cx=W / 2.0 + cam.cx_off,
+            cy=H / 2.0 + cam.cy_off,
             img_height=H,
             img_width=W,
             tile_size=tile_size,

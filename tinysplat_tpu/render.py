@@ -134,8 +134,8 @@ def render(
         full_projmat=camera.projmat @ camera.viewmat,
         fx=camera.fx,
         fy=camera.fy,
-        cx=img_width / 2.0,
-        cy=img_height / 2.0,
+        cx=img_width / 2.0 + camera.cx_off,
+        cy=img_height / 2.0 + camera.cy_off,
         img_height=img_height,
         img_width=img_width,
         tile_size=tile_size,

@@ -316,6 +316,8 @@ class Trainer:
             cam_params,
             fx=cam_params.fx * (w / camera.width),
             fy=cam_params.fy * (h / camera.height),
+            cx_off=cam_params.cx_off * (w / camera.width),
+            cy_off=cam_params.cy_off * (h / camera.height),
         )
 
     def _step_fn(self, h: int, w: int):
