@@ -230,6 +230,7 @@ def make_sharded_train_step(
     optimizer=None,
     use_depth: bool = False,
     use_density: bool = False,
+    pre_interleaved: bool = False,
 ):
     """Build the jitted multi-device train step.
 
@@ -270,6 +271,14 @@ def make_sharded_train_step(
     # Interleaved tile-row banding (cfg knob; always shape-compatible here
     # because Hl % tile_size == 0 <=> (H / tile_size) % n_tile == 0).
     interleave = bool(cfg.band_interleave) and n_tile > 1
+    if interleave:
+        # The grouped-halo SSIM ships SSIM_HALO rows per group; a smaller
+        # tile_size would silently clamp the halo slice and drop window
+        # rows from the loss.
+        assert cfg.tile_size >= SSIM_HALO, (
+            f"band_interleave needs tile_size >= {SSIM_HALO} "
+            f"(got {cfg.tile_size}); disable --band-interleave or use "
+            f"16px tiles")
     ts = cfg.tile_size
     G = Hl // ts
 
@@ -375,21 +384,40 @@ def make_sharded_train_step(
             loss_ssim = 1.0 - ssim_val
             loss = (1.0 - cfg.lambda_dssim) * loss_l1 + cfg.lambda_dssim * loss_ssim
 
+            from ..train import _schedule_gate
+
             aux = {"loss_l1": loss_l1, "loss_ssim": loss_ssim}
             if cfg.regularize_depth and use_depth:
-                gate = jnp.where(
-                    (step >= cfg.regularize_depth_start) & (step < cfg.regularize_depth_end),
-                    1.0, 0.0,
-                )
+                gate = _schedule_gate(True, cfg.regularize_depth_start,
+                                      cfg.regularize_depth_end, step)
                 dsum = jax.lax.psum(jnp.sum(jnp.abs(depth - est_depth)), ("data", "tile"))
                 loss_depth = dsum / npix
                 loss = loss + gate * cfg.lambda_depth * loss_depth
                 aux["loss_depth"] = loss_depth
+            if cfg.densify_strategy == "mcmc":
+                # MCMC sparsity regularizers (train.py compute_losses): the
+                # single-device objective includes them, so the sharded
+                # objective must too (relocation relies on opacities being
+                # pushed down). Shard-local sums psum'd over the full mesh.
+                n_live = jnp.maximum(jax.lax.psum(
+                    jnp.sum(state.alive.astype(jnp.int32)), ("data", "tile")), 1)
+                if cfg.lambda_mcmc_opacity > 0:
+                    o_l = jax.nn.sigmoid(params_shard.opacities.reshape(-1))
+                    mo = jax.lax.psum(
+                        jnp.sum(jnp.where(state.alive, o_l, 0.0)),
+                        ("data", "tile")) / n_live
+                    loss = loss + cfg.lambda_mcmc_opacity * mo
+                    aux["loss_mcmc_opacity"] = mo
+                if cfg.lambda_mcmc_scale > 0:
+                    s_l = jnp.exp(params_shard.scales)
+                    ms = jax.lax.psum(
+                        jnp.sum(jnp.where(state.alive[:, None], s_l, 0.0)),
+                        ("data", "tile")) / (3 * n_live)
+                    loss = loss + cfg.lambda_mcmc_scale * ms
+                    aux["loss_mcmc_scale"] = ms
             if cfg.regularize_opacity:
-                gate = jnp.where(
-                    (step >= cfg.regularize_opacity_start) & (step < cfg.regularize_opacity_end),
-                    1.0, 0.0,
-                )
+                gate = _schedule_gate(True, cfg.regularize_opacity_start,
+                                      cfg.regularize_opacity_end, step)
                 o = jax.nn.sigmoid(params_shard.opacities.reshape(-1))
                 ent = -(o * jnp.log(o + 1e-10) + (1 - o) * jnp.log(1 - o + 1e-10))
                 ent_sum = jax.lax.psum(
@@ -406,11 +434,8 @@ def make_sharded_train_step(
                     density_at_points,
                 )
 
-                gate = jnp.where(
-                    (step >= cfg.regularize_density_start)
-                    & (step < cfg.regularize_density_end),
-                    1.0, 0.0,
-                )
+                gate = _schedule_gate(True, cfg.regularize_density_start,
+                                      cfg.regularize_density_end, step)
                 # Full params for the KNN gather (see make_sharded_train_step
                 # docstring for the collective/transpose story). Must be ONE
                 # flat gather from the shard: gathering 'data' then 'tile'
@@ -554,17 +579,25 @@ def make_sharded_train_step(
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(state, opt_state, cams, gt, est_depth, step, key,
                    density_probe=None, pose_deltas=None, app_params=None):
-        if interleave:
+        if interleave and not pre_interleaved:
             # Row-permute targets so the contiguous 'tile' shard slices hold
             # the interleaved tile rows (band t <- global rows t, t+nt, ...).
+            # Multi-process callers permute HOST-side before staging
+            # (pre_interleaved=True): an in-jit permutation of already
+            # row-sharded inputs would make GSPMD move every GT row across
+            # the 'tile' axis each step.
             gt = _interleave_rows(gt)
-            est_depth = _interleave_rows(est_depth)
+            if use_depth:
+                est_depth = _interleave_rows(est_depth)
+        # Without the depth term the est input is a statically-ignored
+        # placeholder — don't row-shard (or interleave) a full (B, H, W)
+        # dummy through the mesh every step; callers may pass (B, 1, 1).
         in_specs = [
             _cap_specs(state),
             _cap_specs(opt_state),
             jax.tree.map(lambda _: P("data"), cams),
             P("data", "tile"),
-            P("data", "tile"),
+            P("data", "tile") if use_depth else P("data"),
             P(),
             P(),
         ]

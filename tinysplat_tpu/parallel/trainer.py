@@ -126,9 +126,24 @@ class MeshTrainer(Trainer):
             self._sharded_step = make_sharded_train_step(
                 self.cfg, h, w, self.n_data, self.mesh,
                 self.optimizer, use_depth=use_depth, use_density=use_density,
+                pre_interleaved=jax.process_count() > 1,
             )
             self._sharded_step_key = key
         return self._sharded_step
+
+    def _interleave_active(self) -> bool:
+        return bool(self.cfg.band_interleave) and self.n_tile > 1
+
+    def _interleave_host(self, img: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Host-side tile-row interleave (multi-process staging): band t
+        gets global 16px rows {t, t+nt, ...}, so host_to_global lands each
+        row directly on the device that rasterizes it — the in-jit permute
+        would be a per-step cross-device row shuffle on a pod."""
+        ts, nt = self.cfg.tile_size, self.n_tile
+        G = h // nt // ts
+        rest = img.shape[3:]
+        a = img.reshape(img.shape[0], G, nt, ts, w, *rest)
+        return np.swapaxes(a, 1, 2).reshape(img.shape[0], h, w, *rest)
 
     def _invalidate_step_cache(self) -> None:
         super()._invalidate_step_cache()
@@ -204,10 +219,10 @@ class MeshTrainer(Trainer):
                 lambda x: host_to_global(self.mesh, P("data"), np.asarray(x)),
                 cam_batch,
             )
-            gt = host_to_global(
-                self.mesh, P("data", "tile"),
-                np.stack([self._host_image(c, w, h) for c in cams]),
-            )
+            gt_np = np.stack([self._host_image(c, w, h) for c in cams])
+            if self._interleave_active():
+                gt_np = self._interleave_host(gt_np, h, w)
+            gt = host_to_global(self.mesh, P("data", "tile"), gt_np)
         else:
             # Per-camera frames come from the HBM-pinned cache (a 20 MB
             # per-step host->device upload dominates tunneled step time,
@@ -218,10 +233,16 @@ class MeshTrainer(Trainer):
             est = jnp.stack([jnp.asarray(c.estimated_depth) for c in cams])
             if est.shape[1:] != (h, w):  # coarse-to-fine stage
                 est = jax.image.resize(est, (est.shape[0], h, w), "linear")
-        else:
-            est = jnp.zeros((self.n_data, h, w), jnp.float32)
-        if multi:
-            est = host_to_global(self.mesh, P("data", "tile"), np.asarray(est))
+            if multi:
+                est_np = np.asarray(est)
+                if self._interleave_active():
+                    est_np = self._interleave_host(
+                        est_np[..., None], h, w)[..., 0]
+                est = host_to_global(self.mesh, P("data", "tile"), est_np)
+        else:  # statically ignored placeholder — never ship a full dummy
+            est = jnp.zeros((self.n_data, 1, 1), jnp.float32)
+            if multi:
+                est = host_to_global(self.mesh, P("data"), np.asarray(est))
 
         self.key, sub = jax.random.split(self.key)
         sub = self._stage_key(sub)
@@ -247,24 +268,34 @@ class MeshTrainer(Trainer):
             density_probe=self.density_probe, **pose_kw,
         )
         self.state, self.opt_state = out.state, out.opt_state
+
+        def _slot_grads(g):
+            # A camera can appear twice in one batch (epoch-boundary
+            # straddle, or n_data > #cameras): its partial gradients must
+            # SUM into one Adam application, not advance the moments once
+            # per occurrence.
+            acc: dict = {}
+            for b, s in enumerate(slots):
+                if s is not None:
+                    acc[s] = acc[s] + g[b] if s in acc else g[b]
+            return acc
+
         if slots is not None and "pose_grad" in out.metrics:
             g = out.metrics.pop("pose_grad")  # (B, 6)
-            for b, s in enumerate(slots):
-                if s is not None:
-                    (self.pose_deltas, self._pose_m, self._pose_v,
-                     self._pose_cnt) = self._pose_adam(
-                        self.pose_deltas, self._pose_m, self._pose_v,
-                        self._pose_cnt, s, g[b], self.cfg.lr_pose,
-                    )
+            for s, gs in _slot_grads(g).items():
+                (self.pose_deltas, self._pose_m, self._pose_v,
+                 self._pose_cnt) = self._pose_adam(
+                    self.pose_deltas, self._pose_m, self._pose_v,
+                    self._pose_cnt, s, gs, self.cfg.lr_pose,
+                )
         if slots is not None and "app_grad" in out.metrics:
             g = out.metrics.pop("app_grad")  # (B, 12)
-            for b, s in enumerate(slots):
-                if s is not None:
-                    (self.app_params, self._app_m, self._app_v,
-                     self._app_cnt) = self._pose_adam(
-                        self.app_params, self._app_m, self._app_v,
-                        self._app_cnt, s, g[b], self.cfg.lr_app,
-                    )
+            for s, gs in _slot_grads(g).items():
+                (self.app_params, self._app_m, self._app_v,
+                 self._app_cnt) = self._pose_adam(
+                    self.app_params, self._app_m, self._app_v,
+                    self._app_cnt, s, gs, self.cfg.lr_app,
+                )
         self._post_step(out)  # shared host logic (see module docstring)
 
     def _maybe_checkpoint(self) -> None:

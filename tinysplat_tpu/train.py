@@ -239,8 +239,13 @@ def compute_losses(
             aux["loss_mcmc_opacity"] = loss_mo
         if cfg.lambda_mcmc_scale > 0:
             s = jnp.exp(params.scales)
+            # Mean over the live (N, 3) entries — gsplat MCMCStrategy's
+            # scale_reg is .mean() over the full tensor, so divide by
+            # 3*n_live, not n_live (else the effective weight is 3x a
+            # ported gsplat config's).
             loss_ms = (
-                jnp.sum(jnp.where(state.alive[:, None], s, 0.0)) / n_live
+                jnp.sum(jnp.where(state.alive[:, None], s, 0.0))
+                / (3 * n_live)
             )
             loss = loss + cfg.lambda_mcmc_scale * loss_ms
             aux["loss_mcmc_scale"] = loss_ms
