@@ -147,6 +147,25 @@ def test_reset_opacities_clamps_live_only():
     )
     out = reset_opacities(state, epsilon_alpha=0.005)
     op = jax.nn.sigmoid(np.asarray(out.params.opacities[:, 0]))
-    assert np.all(op[:N] <= 0.005 + 1e-6)
+    # gsplat convention: reset value = 2 * the prune floor, ABOVE it so the
+    # reset splats get a recovery window instead of being mass-pruned.
+    assert np.all(op[:N] <= 2 * 0.005 + 1e-6)
+    assert np.all(op[:N] > 0.005)
     # Dead slots untouched (still sentinel -20).
     assert np.all(np.asarray(out.params.opacities[N:, 0]) == -20.0)
+
+
+def test_reset_opacities_zeroes_adam_moments():
+    from tinysplat_tpu.config import Config
+    from tinysplat_tpu.train import init_opt_state
+
+    state = _state(
+        np.zeros(N, np.float32), np.full(N, 0.9, np.float32),
+        np.full(N, 0.9, np.float32)
+    )
+    opt = init_opt_state(Config(), state)
+    opt = jax.tree.map(lambda x: jnp.ones_like(x), opt)  # fake nonzero moments
+    new_state, new_opt = reset_opacities(state, 0.005, opt_state=opt)
+    mu = np.asarray(new_opt[0].mu.opacities[:, 0])
+    assert np.all(mu[:N] == 0.0)  # reset entries: moments cleared
+    assert np.all(np.asarray(new_opt[0].mu.means) == 1.0)  # others untouched

@@ -91,8 +91,7 @@ def densify_and_prune(
 
     # --- candidate construction: (C, 2) static grid -------------------------
     # candidate (i, 0): clone copy OR split sample 0; (i, 1): split sample 1.
-    k0, k1 = jax.random.split(key)
-    eps = jax.random.normal(k0, (2, cap, 3), dtype=params.means.dtype)
+    eps = jax.random.normal(key, (2, cap, 3), dtype=params.means.dtype)
     R = quat_to_rotmat(params.quats)  # (C, 3, 3)
     pert = jnp.einsum("cij,scj->sci", R, eps * jnp.exp(params.scales)[None])
     split_means = params.means[None] + pert  # (2, C, 3)
@@ -161,7 +160,6 @@ def densify_and_prune(
     new_alive = survivors.at[target].set(placed, mode="drop")
 
     # --- Adam moment carry (reference :227-235) ------------------------------
-    changed = new_alive != survivors  # newcomers
     keep = survivors  # survivors keep moments; everything else zeroes
 
     def fix_moment(m_leaf):
@@ -184,7 +182,6 @@ def densify_and_prune(
         "dropped": jnp.maximum(n_new - n_free, 0),
         "num_live": jnp.sum(new_alive.astype(jnp.int32)),
     }
-    del changed
     return new_state, new_opt_state, stats
 
 
@@ -233,19 +230,46 @@ def prune_by_mask(state: GaussianState, opt_state: Any, prune_mask: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("epsilon_alpha",))
-def reset_opacities(state: GaussianState, epsilon_alpha: float = 0.005) -> GaussianState:
+def reset_opacities(state: GaussianState, epsilon_alpha: float = 0.005,
+                    opt_state=None):
     """Periodic opacity reset (reference model_gaussian.py:134-136).
 
     The reference writes the *raw logit* to epsilon_alpha/2 (sigmoid ~ 0.5) —
     and never calls the method (scripts/train.py has no call site; SURVEY.md
-    section 2.1). We wire it behind --interval-opacity-reset with the standard
-    3DGS semantics the knob intends: clamp live opacities to at most
-    epsilon_alpha (in probability space, via logit).
+    section 2.1). We wire it behind --interval-opacity-reset with the
+    standard 3DGS/gsplat semantics the knob intends: clamp live opacities to
+    at most **2 * epsilon_alpha** in probability space (gsplat's
+    reset_opa = 2 * prune_opa — the reset value must sit ABOVE the prune
+    floor so splats get a recovery window), and ZERO the opacity Adam
+    moments (3DGS replace_tensor_to_optimizer) so stale momentum doesn't
+    keep pushing the fresh logits in the pre-reset direction.
+
+    Returns state, or (state, opt_state) when opt_state is given.
     """
-    p = epsilon_alpha
+    p = min(2.0 * epsilon_alpha, 0.99)
     target_logit = float(np.log(p / (1.0 - p)))
     op = jnp.minimum(state.params.opacities, target_logit)
     op = jnp.where(state.alive[:, None], op, state.params.opacities)
-    return dataclasses.replace(
+    new_state = dataclasses.replace(
         state, params=dataclasses.replace(state.params, opacities=op)
     )
+    if opt_state is None:
+        return new_state
+
+    was_reset = op < state.params.opacities  # clamped entries only
+
+    def zero_opacity_moments(node):
+        # Adam moments are GaussianParams-shaped pytrees (mu/nu) inside the
+        # optax state; zero exactly their opacities leaf where the clamp
+        # fired. Plain array leaves (e.g. the shared step count) pass
+        # through.
+        if not hasattr(node, "opacities"):
+            return node
+        return dataclasses.replace(
+            node, opacities=jnp.where(was_reset, 0.0, node.opacities))
+
+    new_opt = jax.tree.map(
+        zero_opacity_moments, opt_state,
+        is_leaf=lambda t: hasattr(t, "opacities"),
+    )
+    return new_state, new_opt

@@ -137,6 +137,11 @@ def relocate_and_grow(
     )
     ratio = 1 + counts
     o_new, scale_mult = relocation_adjustment(o, ratio)
+    # gsplat relocate() clamps the per-copy opacity to min_opacity: without
+    # it, a barely-alive target split r ways is born BELOW the dead floor
+    # and gets relocated again next pass — a relocation-thrash loop that
+    # wastes the grow budget and re-zeroes moments forever.
+    o_new = jnp.maximum(o_new, cfg.mcmc_min_opacity)
     touched = (counts > 0) & alive & ok
 
     adj_opac = jnp.where(

@@ -180,6 +180,8 @@ def from_state_dict(sd: Dict[str, np.ndarray], capacity: Optional[int] = None) -
     n = sd["means"].shape[0]
     if capacity is None:
         capacity = max(1 << int(np.ceil(np.log2(max(2 * n, 1024)))), 1024)
+    assert capacity >= n, (
+        f"capacity {capacity} < {n} splats in the state dict")
     dim_sh = sd["colors_rest"].shape[1] + 1
     sh_degree = deg_from_sh(dim_sh)
 
@@ -229,6 +231,9 @@ def compact_state(state: GaussianState, opt_state, min_capacity: int = 64,
     target = max(
         int(min_capacity),
         1 << max(0, math.ceil(math.log2(max(n_live * margin, 1.0)))),
+        # A margin < 1 must never make compaction DESTROY live splats: the
+        # truncating perm below assumes every live row fits.
+        1 << max(0, math.ceil(math.log2(max(n_live, 1)))),
     )
     if target >= cap:
         return state, opt_state, False

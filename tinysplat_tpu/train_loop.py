@@ -389,6 +389,11 @@ class Trainer:
         cfg = self.cfg
         if cfg.compact_interval <= 0 or self.step % cfg.compact_interval != 0:
             return
+        if cfg.densify_strategy == "mcmc":
+            # MCMC treats the (fixed) capacity as its growth ceiling and
+            # never grows arrays back; compaction would permanently shrink
+            # the splat budget. The strategies are mutually exclusive.
+            return
         from .models.gaussians import compact_state
 
         old_cap = self.state.capacity
@@ -540,7 +545,8 @@ class Trainer:
             and self.step <= cfg.densify_end
             and cfg.densify_strategy != "mcmc"  # MCMC self-regulates opacity
         ):
-            self.state = reset_opacities(self.state, cfg.epsilon_alpha)
+            self.state, self.opt_state = reset_opacities(
+                self.state, cfg.epsilon_alpha, opt_state=self.opt_state)
 
         num_live = int(jax.device_get(out.metrics["num_live"]))
         self.metrics.log(self.step, extra=f"N: {num_live}")
