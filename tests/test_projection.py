@@ -2,6 +2,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tinysplat_tpu.cameras import make_view_matrix
 from tinysplat_tpu.ops.projection import project_gaussians, scale_rot_to_cov3d
 from tinysplat_tpu.utils.quaternions import quat_to_rotmat
 
@@ -117,3 +118,54 @@ def test_projection_differentiable():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_cov2d_scalar_matches_matrix_form():
+    """The production scalarized EWA covariance (_cov2d_scalar) must equal
+    the readable matrix-form implementation (scale_rot_to_cov3d +
+    project_cov3d_ewa) — the matrix form is kept as the parity oracle so
+    the two can never silently diverge."""
+    from tinysplat_tpu.ops.projection import (
+        _cov2d_scalar,
+        project_cov3d_ewa,
+        scale_rot_to_cov3d,
+    )
+    from tinysplat_tpu.utils.quaternions import random_quats
+
+    rng = np.random.default_rng(11)
+    n = 257
+    quats = np.asarray(random_quats(jax.random.PRNGKey(4), n))
+    scales = rng.uniform(0.01, 0.4, (n, 3)).astype(np.float32)
+    means_cam = np.stack([
+        rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), rng.uniform(0.5, 6, n)
+    ], axis=1).astype(np.float32)
+    W_rot = np.asarray(make_view_matrix(np.zeros(3), np.array([1.0, 0, 0, 0]))
+                       )[:3, :3]
+    fx = fy = jnp.float32(120.0)
+    tanx = tany = jnp.float32(0.6)
+
+    cov3d = scale_rot_to_cov3d(jnp.asarray(scales), 1.0, jnp.asarray(quats))
+    ref = project_cov3d_ewa(jnp.asarray(means_cam), cov3d, jnp.asarray(W_rot),
+                            fx, fy, tanx, tany)
+    a, b, c = _cov2d_scalar(jnp.asarray(means_cam), jnp.asarray(scales),
+                            jnp.asarray(quats), jnp.asarray(W_rot),
+                            fx, fy, tanx, tany)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref[:, 0, 0]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(ref[:, 0, 1]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(ref[:, 1, 1]),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_quat_gradients_finite_at_zero_quat():
+    """Dead slots can carry degenerate quats; the normalization gradient
+    must be finite at q = 0 (the norm VJP's 0/0 NaN would poison the
+    optimizer rows of every dead slot)."""
+    from tinysplat_tpu.ops.projection import _rotmat_elems
+
+    def f(q):
+        return sum(jnp.sum(e) for e in _rotmat_elems(q))
+
+    g = jax.grad(f)(jnp.zeros((3, 4)))
+    assert np.isfinite(np.asarray(g)).all()

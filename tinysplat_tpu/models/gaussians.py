@@ -190,12 +190,20 @@ def from_state_dict(sd: Dict[str, np.ndarray], capacity: Optional[int] = None) -
         out[:n] = arr
         return jnp.asarray(out)
 
+    # Dead-slot quats must be the identity (w=1), never all-zero: a
+    # zero-norm quaternion makes the normalization VJP emit NaN gradients
+    # for that row (0/0 inside the norm's backward), which would poison the
+    # Adam moments of every dead slot on resume (init_from_pcd and
+    # grow_capacity already use w=1).
+    quats = np.zeros((capacity, 4), np.float32)
+    quats[:, 0] = 1.0
+    quats[:n] = sd["quats"]
     params = GaussianParams(
         means=pad(sd["means"]),
         colors_dc=pad(sd["colors_dc"]),
         colors_rest=pad(sd["colors_rest"]),
         scales=pad(sd["scales"], fill=-10.0),
-        quats=pad(sd["quats"]),
+        quats=jnp.asarray(quats),
         opacities=pad(sd["opacities"], fill=-20.0),
     )
     active = sd.get("active_sh_degree")

@@ -57,7 +57,12 @@ def _rotmat_elems(quats: jax.Array):
     batched tiny-matrix chains into many T(4,128)-tiled fusions (~35 ms at
     N=262k on v5e); plain (N,) elementwise columns fuse into one kernel.
     """
-    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
+    # Gradient-safe normalization: jnp.linalg.norm's VJP is 0/0 = NaN at a
+    # zero quaternion even when the clipped PRIMAL is fine; sqrt(max(q.q,
+    # eps)) has a finite gradient everywhere (dead slots must not poison
+    # the quat gradient rows — the optimizer updates them unmasked).
+    q = quats / jnp.sqrt(
+        jnp.maximum(jnp.sum(quats * quats, axis=-1, keepdims=True), 1e-24))
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     return (
         1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),

@@ -54,11 +54,17 @@ def num_sh_bases(degree: int) -> int:
 
 
 def deg_from_sh(num_bases: int) -> int:
-    """Inverse of :func:`num_sh_bases`; gsplat ``deg_from_sh`` semantics."""
+    """Inverse of :func:`num_sh_bases`; gsplat ``deg_from_sh`` semantics.
+
+    Exact match only: a non-square basis count (e.g. a malformed
+    checkpoint's colors_rest) must fail HERE with a clear error, not as a
+    broadcast mismatch deep inside the jitted train step."""
     for deg in range(5):
-        if num_sh_bases(deg) >= num_bases:
+        if num_sh_bases(deg) == num_bases:
             return deg
-    raise ValueError(f"Unsupported number of SH bases: {num_bases}")
+    raise ValueError(
+        f"Unsupported number of SH bases: {num_bases} (must be one of "
+        f"1, 4, 9, 16, 25)")
 
 
 def sh_basis(dirs: jax.Array, num_bases: int) -> jax.Array:

@@ -56,7 +56,10 @@ def ssim_map(
     """
     x = jnp.transpose(img1, (2, 0, 1))[None]  # (1, C, H, W)
     y = jnp.transpose(img2, (2, 0, 1))[None]
-    window = jnp.asarray(_gaussian_window(win_size, win_sigma))
+    # Match the image dtype (pytorch_msssim's win.to(X.dtype)): a f32
+    # window against bf16/f64 images is a conv dtype-mismatch error.
+    window = jnp.asarray(_gaussian_window(win_size, win_sigma),
+                         dtype=img1.dtype)
 
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
