@@ -163,3 +163,39 @@ def test_dataset_fisheye_undistortion(tmp_path):
     assert img.shape == (cam.height, cam.width, 3)
     assert np.isfinite(cam.f_x) and cam.f_x > 0
     assert cam.fov_x == pytest.approx(2 * np.arctan(cam.width / (2 * cam.f_x)))
+
+
+def test_images_text_zero_observations_and_spacey_names(tmp_path):
+    """COLMAP legitimately writes EMPTY observation lines (images with no
+    2D points) and names containing spaces; the text parser must not
+    desynchronize its header/points pairing or truncate the name."""
+    from tinysplat_tpu.data.colmap import read_images_text
+
+    txt = "\n".join([
+        "# images.txt",
+        "1 1 0 0 0 0.1 0.2 0.3 1 my photo 001.jpg",
+        "",  # zero observations
+        "2 1 0 0 0 0.4 0.5 0.6 1 frame_0002.jpg",
+        "1.0 2.0 7 3.0 4.0 9",
+        "",
+    ])
+    p = tmp_path / "images.txt"
+    p.write_text(txt)
+    out = read_images_text(str(p))
+    assert out[1].name == "my photo 001.jpg"
+    assert out[1].xys.shape == (0, 2)
+    assert out[2].name == "frame_0002.jpg"
+    np.testing.assert_array_equal(out[2].point3d_ids, [7, 9])
+
+
+def test_images_binary_truncated_raises(tmp_path):
+    import struct
+
+    from tinysplat_tpu.data.colmap import read_images_binary
+
+    buf = struct.pack("<Q", 1) + struct.pack("<i", 1) + b"\x00" * 56 + \
+        struct.pack("<i", 1) + b"partial_name_no_terminator"
+    p = tmp_path / "images.bin"
+    p.write_bytes(buf)
+    with pytest.raises(ValueError, match="truncated"):
+        read_images_binary(str(p))

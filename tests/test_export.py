@@ -4,6 +4,7 @@ Spec: reference export surface /root/reference/tinysplat/splatting/
 model_gaussian.py:330-394 (PLY attribute layout), scripts/export.py.
 """
 import numpy as np
+import pytest
 
 from tinysplat_tpu.io import (
     export_ply,
@@ -82,3 +83,40 @@ def test_obj_export(tmp_path):
     lines = open(path).read().splitlines()
     assert sum(1 for l in lines if l.startswith("v ")) == 3
     assert "f 1 2 3" in lines
+
+
+def test_read_ply_truncated_raises(tmp_path):
+    from tinysplat_tpu.io.ply import read_ply, write_ply
+
+    v = np.zeros(10, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4")])
+    path = tmp_path / "t.ply"
+    write_ply(str(path), v)
+    data = path.read_bytes()
+    path.write_bytes(data[:-8])  # chop most of the last record
+    with pytest.raises(ValueError, match="truncated"):
+        read_ply(str(path))
+
+
+def test_write_ply_rejects_subarray_fields(tmp_path):
+    from tinysplat_tpu.io.ply import write_ply
+
+    v = np.zeros(4, dtype=[("pos", "<f4", (3,))])
+    with pytest.raises(ValueError, match="sub-array"):
+        write_ply(str(tmp_path / "bad.ply"), v)
+
+
+def test_read_ply_rejects_variable_length_lists(tmp_path):
+    from tinysplat_tpu.io.ply import read_ply
+
+    header = (b"ply\nformat binary_little_endian 1.0\n"
+              b"element vertex 1\nproperty float x\n"
+              b"element face 2\nproperty list uchar int vertex_indices\n"
+              b"end_header\n")
+    import struct
+    body = struct.pack("<f", 0.0)
+    body += struct.pack("<B3i", 3, 0, 1, 2)  # triangle
+    body += struct.pack("<B4i", 4, 0, 1, 2, 3)  # quad
+    p = tmp_path / "mixed.ply"
+    p.write_bytes(header + body)
+    with pytest.raises(ValueError):
+        read_ply(str(p))

@@ -146,6 +146,10 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
                 c = f.read(1)
                 if c == b"\x00":
                     break
+                if c == b"":  # EOF mid-name: must not spin forever
+                    raise ValueError(
+                        f"truncated images.bin: EOF inside image name "
+                        f"(image_id {image_id})")
                 chars += c
             name = chars.decode("utf-8")
             (m,) = _read(f, "<Q")
@@ -199,16 +203,27 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 
 
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
+    # Header/observation lines are consumed PAIRWISE over the raw file:
+    # COLMAP legitimately writes an EMPTY observations line for images with
+    # zero 2D points, and pre-filtering blank lines (as _text_lines does)
+    # would desynchronize the pairing for every subsequent image.
     out = {}
-    lines = list(_text_lines(path))
-    for i in range(0, len(lines), 2):
-        parts = lines[i].split()
+    with open(path, "r") as f:
+        raw = [ln.rstrip("\n") for ln in f
+               if not ln.lstrip().startswith("#")]
+    # Leading/trailing blank lines are noise; interior blanks are data.
+    while raw and not raw[0].strip():
+        raw.pop(0)
+    for i in range(0, len(raw), 2):
+        parts = raw[i].split()
+        if not parts:
+            continue
         image_id = int(parts[0])
         qvec = np.asarray([float(x) for x in parts[1:5]])
         tvec = np.asarray([float(x) for x in parts[5:8]])
         camera_id = int(parts[8])
-        name = parts[9]
-        pts = lines[i + 1].split() if i + 1 < len(lines) else []
+        name = " ".join(parts[9:])  # file names may contain spaces
+        pts = raw[i + 1].split() if i + 1 < len(raw) else []
         trip = np.asarray([float(x) for x in pts]).reshape(-1, 3) if pts else np.zeros((0, 3))
         out[image_id] = ColmapImage(
             image_id, qvec, tvec, camera_id, name,

@@ -75,6 +75,7 @@ def save_checkpoint_sharded(
     opt_state: Any = None,
     step: int = 0,
     rng_key: Optional[jax.Array] = None,
+    extras: Optional[dict] = None,
 ) -> None:
     """Multi-host-aware checkpoint: each process writes ONLY its addressable
     shards (orbax-style layout; SURVEY.md section 5 bar). No process ever
@@ -89,22 +90,28 @@ def save_checkpoint_sharded(
     aggregate bytes on disk equal one copy of the global state regardless of
     mesh size. All processes must call this (collectively); a shared
     filesystem is assumed for restore, as with orbax.
+
+    Crash safety: everything is written into ``ckpt_dir/.staging`` first and
+    swapped in only after every process finishes — reusing a directory never
+    destroys the previous checkpoint before the replacement exists. The
+    manifest is moved LAST (atomic os.replace), and restore validates
+    leaf-count + shard coverage, so the narrow swap window fails loudly
+    rather than resuming from mixed state.
+
+    ``extras``: optional {name: small replicated array} of auxiliary
+    training state (e.g. --pose-opt / --app-opt tables + moments), stored in
+    the manifest; read back with load_checkpoint_sharded_extras.
     """
     proc = jax.process_index()
-    pdir = os.path.join(ckpt_dir, f"p{proc}")
-    # A reused directory could hold shard files from a DIFFERENT mesh or leaf
-    # set; restore's glob over p*/ would silently mix them in. Start clean.
-    if proc == 0 and os.path.isdir(ckpt_dir):
-        import glob as _glob
+    sdir = os.path.join(ckpt_dir, ".staging")
+    pdir = os.path.join(sdir, f"p{proc}")
+    if proc == 0:
         import shutil
 
-        stale = _glob.glob(os.path.join(ckpt_dir, "p*"))
-        for d in stale:
-            shutil.rmtree(d, ignore_errors=True)
-        m = os.path.join(ckpt_dir, "manifest.npz")
-        if os.path.exists(m):
-            os.remove(m)
-    _barrier("ckpt_clean")  # writers must not race process 0's cleanup
+        if os.path.isdir(sdir):  # stale staging from a crashed save
+            shutil.rmtree(sdir, ignore_errors=True)
+        os.makedirs(sdir, exist_ok=True)
+    _barrier("ckpt_staging_ready")  # writers must not race the cleanup
     os.makedirs(pdir, exist_ok=True)
 
     trees = {"state": state} if opt_state is None else {
@@ -112,6 +119,8 @@ def save_checkpoint_sharded(
     meta = {"meta/step": np.int64(step), "meta/capacity": np.int64(state.capacity),
             "meta/nprocs": np.int64(jax.process_count()),
             "meta/has_opt": np.bool_(opt_state is not None)}
+    for k, v in (extras or {}).items():
+        meta[f"extra/{k}"] = np.asarray(v)
     if rng_key is not None:
         meta["meta/rng"] = np.asarray(jax.random.key_data(rng_key))
 
@@ -140,10 +149,25 @@ def save_checkpoint_sharded(
     # may return (and e.g. start a restore) before it exists.
     _barrier("ckpt_shards_done")
     if proc == 0:
-        tmp = os.path.join(ckpt_dir, "manifest.npz.tmp")
+        import glob as _glob
+        import shutil
+
+        tmp = os.path.join(sdir, "manifest.npz.tmp")
         with open(tmp, "wb") as f:
             np.savez(f, **meta)
-        os.replace(tmp, os.path.join(ckpt_dir, "manifest.npz"))
+        os.replace(tmp, os.path.join(sdir, "manifest.npz"))
+        # Swap the staging contents in: remove the previous shard dirs (a
+        # reused directory could hold shards of a DIFFERENT mesh or leaf
+        # set), move the new ones up, and publish the manifest LAST.
+        for d in _glob.glob(os.path.join(ckpt_dir, "p*")):
+            shutil.rmtree(d, ignore_errors=True)
+        for entry in sorted(os.listdir(sdir)):
+            if entry.startswith("p"):
+                os.replace(os.path.join(sdir, entry),
+                           os.path.join(ckpt_dir, entry))
+        os.replace(os.path.join(sdir, "manifest.npz"),
+                   os.path.join(ckpt_dir, "manifest.npz"))
+        shutil.rmtree(sdir, ignore_errors=True)
     _barrier("ckpt_manifest_done")
 
 
@@ -191,6 +215,18 @@ def restore_checkpoint_sharded(
         shape = tuple(man[f"shape/{prefix}/{i}"].tolist())
         dtype = np.dtype(str(man[f"dtype/{prefix}/{i}"]))
         sharding = NamedSharding(mesh, capacity_leaf_spec(template_leaf))
+        # Saved pieces partition the global array (replica-0 shards are
+        # disjoint); anything less means missing/partially-synced shard
+        # files — assembling would hand np.empty garbage to the trainer.
+        covered = sum(
+            int(np.prod([int(b1) - int(b0) for b0, b1 in bounds]))
+            for bounds, _ in pieces.get(f"{prefix}{i}", ())
+        )
+        if covered != int(np.prod(shape)):
+            raise ValueError(
+                f"sharded checkpoint leaf {prefix}/{i} is incomplete: "
+                f"saved pieces cover {covered} of {int(np.prod(shape))} "
+                f"elements (missing or stale p*/ shard files in {ckpt_dir})")
 
         def cb(index):
             starts = [sl.start or 0 for sl in index]
@@ -220,6 +256,11 @@ def restore_checkpoint_sharded(
         sh_degree=cfg.sh_degree, capacity=8,
     )
     state_leaves, state_def = jax.tree.flatten(template)
+    n_saved = int(man["meta/n_state"])
+    if n_saved != len(state_leaves):
+        raise ValueError(
+            f"checkpoint state tree has {n_saved} leaves but this build "
+            f"expects {len(state_leaves)} — incompatible versions/config")
     state = jax.tree.unflatten(
         state_def,
         [assemble("state", i, l) for i, l in enumerate(state_leaves)],
@@ -228,11 +269,27 @@ def restore_checkpoint_sharded(
     if bool(man["meta/has_opt"]):
         opt_template = init_opt_state(cfg, template)
         opt_leaves, opt_def = jax.tree.flatten(opt_template)
+        n_opt_saved = int(man["meta/n_opt"])
+        if n_opt_saved != len(opt_leaves):
+            raise ValueError(
+                f"checkpoint optimizer tree has {n_opt_saved} leaves but "
+                f"this config builds {len(opt_leaves)} — optimizer "
+                f"definition changed between save and restore")
         opt_state = jax.tree.unflatten(
             opt_def,
             [assemble("opt", i, l) for i, l in enumerate(opt_leaves)],
         )
     return state, opt_state, step, rng_key
+
+
+def load_checkpoint_sharded_extras(ckpt_dir: str) -> dict:
+    """The ``extras`` dict passed to save_checkpoint_sharded (may be {})."""
+    man = np.load(os.path.join(ckpt_dir, "manifest.npz"))
+    return {
+        k.split("/", 1)[1]: np.asarray(man[k])
+        for k in man.files
+        if k.startswith("extra/")
+    }
 
 
 def load_checkpoint(

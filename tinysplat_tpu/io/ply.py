@@ -12,11 +12,11 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 _DTYPES = {
-    "float": "<f4", "float32": "<f4",
+    "float": "<f4", "float32": "<f4", "float16": "<f2", "half": "<f2",
     "double": "<f8", "float64": "<f8",
-    "int": "<i4", "int32": "<i4",
+    "int": "<i4", "int32": "<i4", "int64": "<i8", "uint64": "<u8",
     "uint": "<u4", "uint32": "<u4",
-    "short": "<i2", "ushort": "<u2",
+    "short": "<i2", "ushort": "<u2", "int16": "<i2", "uint16": "<u2",
     "char": "i1", "uchar": "u1", "uint8": "u1", "int8": "i1",
 }
 _NAMES = {np.dtype(v): k for k, v in [
@@ -37,6 +37,14 @@ def write_ply(
     header += [f"comment {c}" for c in comments]
     header.append(f"element vertex {len(vertex)}")
     for name in vertex.dtype.names:
+        if vertex.dtype[name].shape:
+            # A sub-array field would make the header (one scalar property)
+            # disagree with tobytes() (all sub-elements) — every reader
+            # would misparse the payload with no error from us.
+            raise ValueError(
+                f"vertex field {name!r} has sub-array shape "
+                f"{vertex.dtype[name].shape}; flatten to scalar fields "
+                f"(e.g. x/y/z) before writing")
         header.append(f"property {_NAMES[vertex.dtype[name].base]} {name}")
     if faces is not None:
         header.append(f"element face {len(faces)}")
@@ -88,13 +96,34 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
         for name, count, props, listprop in elements:
             if listprop is None:
                 dt = np.dtype(props)
-                out[name] = np.frombuffer(f.read(dt.itemsize * count), dtype=dt)
+                raw = f.read(dt.itemsize * count)
+                if len(raw) != dt.itemsize * count:
+                    raise ValueError(
+                        f"truncated PLY: element {name!r} declares {count} "
+                        f"records but only {len(raw) // dt.itemsize} are "
+                        f"present")
+                out[name] = np.frombuffer(raw, dtype=dt)
             else:
                 cnt_dt, idx_dt = np.dtype(_DTYPES[listprop[0]]), np.dtype(_DTYPES[listprop[1]])
-                # Peek the first count; assume fixed-length lists (triangles).
-                raw = f.read()
-                n0 = int(np.frombuffer(raw[: cnt_dt.itemsize], cnt_dt)[0])
+                # Fixed-length lists only (triangles): peek the first count,
+                # consume exactly this element's bytes (elements may follow),
+                # and verify every record matches — a mixed tri/quad file
+                # would otherwise misalign into garbage indices silently.
+                head = f.read(cnt_dt.itemsize)
+                if len(head) < cnt_dt.itemsize:
+                    raise ValueError(f"truncated PLY: element {name!r} empty")
+                n0 = int(np.frombuffer(head, cnt_dt)[0])
                 rec = np.dtype([("n", cnt_dt), ("vertex_indices", idx_dt, (n0,))])
-                arr = np.frombuffer(raw[: rec.itemsize * count], dtype=rec)
+                raw = head + f.read(rec.itemsize * count - cnt_dt.itemsize)
+                if len(raw) != rec.itemsize * count:
+                    raise ValueError(
+                        f"truncated PLY: element {name!r} declares {count} "
+                        f"list records")
+                arr = np.frombuffer(raw, dtype=rec)
+                if not (arr["n"] == n0).all():
+                    raise ValueError(
+                        f"PLY element {name!r} has variable-length lists "
+                        f"(first={n0}); only fixed-count lists (triangle "
+                        f"meshes) are supported")
                 out[name] = arr
         return out

@@ -308,8 +308,18 @@ class MeshTrainer(Trainer):
             from ..io.checkpoint import save_checkpoint_sharded
 
             path = f"{cfg.checkpoint_dir}/{self._timestamp}-{self.step}.ckpt"
+            extras = {}
+            if self.pose_deltas is not None:
+                extras.update({"pose_deltas": self.pose_deltas,
+                               "pose_m": self._pose_m, "pose_v": self._pose_v,
+                               "pose_cnt": self._pose_cnt})
+            if self.app_params is not None:
+                extras.update({"app_params": self.app_params,
+                               "app_m": self._app_m, "app_v": self._app_v,
+                               "app_cnt": self._app_cnt})
             save_checkpoint_sharded(path, self.state, self.opt_state,
-                                    self.step, self.key)
+                                    self.step, self.key,
+                                    extras=extras or None)
             if jax.process_index() == 0:
                 log.info("saved sharded checkpoint %s", path)
 
