@@ -27,6 +27,8 @@ def main() -> None:
                         choices=["marching_cubes", "poisson"])
     parser.add_argument("--resolution", type=int, default=256,
                         help="marching-cubes grid resolution")
+    parser.add_argument("--poisson-depth", type=int, default=9,
+                        help="poisson octree depth (grid = 2^depth, capped)")
     parser.add_argument("input_file", type=str, help=".npz checkpoint or .ply")
     parser.add_argument("output_file", type=str)
     args = parser.parse_args()
@@ -46,9 +48,41 @@ def main() -> None:
     elif args.filetype == "OBJ":
         from tinysplat_tpu.mesh import extract_mesh
 
+        scene = None
+        if args.mesh_extraction_algorithm == "poisson":
+            # Poisson needs rendered depth; a bare checkpoint carries no
+            # cameras, so synthesize an orbit around the model and bind a
+            # render function over the loaded state.
+            import jax.numpy as jnp
+            import numpy as np
+
+            from tinysplat_tpu.data.synthetic import orbit_cameras
+            from tinysplat_tpu.render import render as _render
+            from tinysplat_tpu.scene import Scene
+
+            means = np.asarray(state.params.means)[np.asarray(state.alive)]
+            center = means.mean(axis=0)
+            radius = max(
+                2.5 * float(np.linalg.norm(means - center, axis=1).max()),
+                1e-2)
+            cams = orbit_cameras(16, width=256, height=256, radius=radius,
+                                 target=tuple(center))
+            scene = Scene(cams)
+
+            def render_fn(camera, dims=None):
+                w, h = dims if dims is not None else (camera.width,
+                                                      camera.height)
+                rgb, extras = _render(
+                    state.params, state.alive, camera.params(), h, w,
+                    state.active_sh_degree, jnp.zeros(3), rasterizer="tiled")
+                return rgb, extras
+
+            scene.render_fn = render_fn
+
         verts, faces, normals = extract_mesh(
             state, algorithm=args.mesh_extraction_algorithm,
-            resolution=args.resolution,
+            resolution=args.resolution, scene=scene,
+            poisson_depth=args.poisson_depth,
         )
         from tinysplat_tpu.io.export import export_mesh_obj
 

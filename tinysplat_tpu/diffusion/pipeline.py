@@ -265,4 +265,8 @@ def _dummy_cams(b: int) -> CameraParams:
         cam_pos=jnp.zeros((b, 3)),
         fx=jnp.full((b,), 100.0),
         fy=jnp.full((b,), 100.0),
+        # Explicit (b,)-shaped leaves: the class defaults are python floats,
+        # which tree.maps over batched CameraParams cannot index.
+        cx_off=jnp.zeros((b,)),
+        cy_off=jnp.zeros((b,)),
     )

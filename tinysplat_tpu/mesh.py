@@ -278,6 +278,11 @@ def extract_mesh(
     poisson_depth: int = 9,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Extract (vertices, faces, normals) from a trained model."""
+    if int(np.asarray(state.num_live())) == 0:
+        # All-dead model: an empty mesh, not a zero-size reduction crash
+        # inside the density-grid AABB.
+        empty3 = np.zeros((0, 3), np.float32)
+        return empty3, np.zeros((0, 3), np.int32), empty3
     if algorithm == "marching_cubes":
         field, origin, spacing = _density_grid(state, resolution)
         verts, faces = marching_tetrahedra(field, surface_level, origin, spacing)

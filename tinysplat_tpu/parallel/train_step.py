@@ -452,14 +452,17 @@ def make_sharded_train_step(
                 if interleave:  # bands hold interleaved rows; restore global
                     depth_full = _deinterleave_band_gather(depth_full)
                 d = density_at_points(dprobe.points, dprobe.knn_idx, params_full)
+                from ..regularizers.density import probe_beta
+
+                beta = probe_beta(params_full, dprobe.knn_idx)  # live scales
 
                 def one_cam(cam, depth_b):
                     est, mask = approximate_density(
-                        dprobe.points, depth_b, cam, dprobe.beta, H, W,
+                        dprobe.points, depth_b, cam, beta, H, W,
                         return_sdf=cfg.regularize_sdf,
                     )
                     if cfg.regularize_sdf:
-                        sdf = dprobe.beta * jnp.sqrt(
+                        sdf = beta * jnp.sqrt(
                             -2.0 * jnp.log(jnp.clip(d, 0.001, 0.999))
                         )
                         err = jnp.abs(sdf - est)

@@ -31,24 +31,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def knn_points(points: jax.Array, k: int = 16, chunk: int = 8192) -> jax.Array:
+def knn_points(points: jax.Array, k: int = 16, chunk: int = 2048) -> jax.Array:
     """(P, k) indices of each point's k nearest neighbors (self included).
 
-    Chunked dense distances on the MXU — same pattern as
-    regularizers/density.knn_indices but over an arbitrary point set.
-    """
-    p2 = jnp.sum(points * points, axis=-1)
+    Delegates to regularizers/density.knn_indices (the one chunked MXU
+    brute-force KNN in the tree — a lax.scan, so one compiled step instead
+    of a Python loop of eager dispatches) as a self-query over the point
+    set; k is clamped to the point count there."""
+    from .regularizers.density import knn_indices
 
-    def one(chunk_pts, chunk_p2):
-        d = chunk_p2[:, None] - 2.0 * chunk_pts @ points.T + p2[None, :]
-        _, idx = jax.lax.top_k(-d, k)
-        return idx
-
-    outs = []
-    n = points.shape[0]
-    for i in range(0, n, chunk):
-        outs.append(one(points[i : i + chunk], p2[i : i + chunk]))
-    return jnp.concatenate(outs, axis=0)
+    return knn_indices(points, points,
+                       jnp.ones((points.shape[0],), bool), k=k, chunk=chunk)
 
 
 def estimate_normals(
@@ -146,9 +139,11 @@ def _spectral_solve(vgrid: jax.Array, resolution: int, screen: float) -> jax.Arr
         return chi
     except jax.errors.JaxRuntimeError as e:
         # Only the backend's missing-complex-FFT failure falls back to host
-        # numpy (the axon TPU pool raises UNIMPLEMENTED); anything else is a
-        # real bug and must surface.
-        if "UNIMPLEMENTED" not in str(e) and "FFT" not in str(e):
+        # numpy (the axon TPU pool raises UNIMPLEMENTED naming the fft op);
+        # anything else is a real bug and must surface — require BOTH
+        # markers, not either (an unrelated UNIMPLEMENTED, or a resource
+        # error merely mentioning fft, must not be swallowed).
+        if not ("UNIMPLEMENTED" in str(e) and "fft" in str(e).lower()):
             raise
         import logging
 
@@ -233,8 +228,17 @@ def reconstruct(
     from .mesh import marching_tetrahedra, vertex_normals
 
     pts = np.asarray(points, np.float32)
+    # Degenerate input (no surface crossings found / tiny early model):
+    # return an empty mesh instead of crashing in the KNN/normal pipeline
+    # (k-NN needs > k points; zero points can't even concatenate).
+    if len(pts) <= 16:
+        empty3 = np.zeros((0, 3), np.float32)
+        return empty3, np.zeros((0, 3), np.int32), empty3
     keep = remove_statistical_outliers(pts, std_ratio=outlier_std_ratio)
     pts = pts[keep]
+    if len(pts) <= 16:
+        empty3 = np.zeros((0, 3), np.float32)
+        return empty3, np.zeros((0, 3), np.int32), empty3
     vo = None if view_origins is None else jnp.asarray(
         np.asarray(view_origins, np.float32)[keep])
     if normals is None:

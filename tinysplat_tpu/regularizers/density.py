@@ -96,6 +96,14 @@ def knn_indices(
     knn_points (model_gaussian.py:16, :260).
     """
     s = points.shape[0]
+    # top_k must still return k rows even when fewer than k splats are
+    # alive — the +inf-distance ties would FILL the remainder with dead
+    # splats' (stale, generally non-zero-opacity) indices. Clamp k so only
+    # live neighbors are ever returned; callers are eager (host paths).
+    n_live = int(jax.device_get(jnp.sum(alive.astype(jnp.int32))))
+    if n_live == 0:
+        raise ValueError("knn_indices: no live splats to query against")
+    k = min(k, n_live)
     pad = (-s) % chunk
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     m_sq = jnp.sum(means * means, axis=-1)
@@ -187,8 +195,12 @@ def approximate_density(
 
     hom = jnp.concatenate([cam_pts, jnp.ones_like(z[:, None])], axis=1) @ camera.projmat.T
     ndc = hom[:, :2] / jnp.maximum(jnp.abs(hom[:, 3:4]), 1e-9) * jnp.sign(hom[:, 3:4])
-    px = 0.5 * img_width * ndc[:, 0] + img_width / 2.0 - 0.5
-    py = 0.5 * img_height * ndc[:, 1] + img_height / 2.0 - 0.5
+    # Principal-point offset must match the renderer's ndc2pix (the depth
+    # map being sampled was rasterized with cx = W/2 + cx_off): without it
+    # every probe point samples depth cx_off pixels off its projection.
+    px = 0.5 * img_width * ndc[:, 0] + img_width / 2.0 + camera.cx_off - 0.5
+    py = (0.5 * img_height * ndc[:, 1] + img_height / 2.0
+          + camera.cy_off - 0.5)
     mask &= (px >= 0) & (px <= img_width - 1) & (py >= 0) & (py <= img_height - 1)
 
     z_map = _bilinear_border(depth_map, px, py)
@@ -213,9 +225,22 @@ def make_density_probe(
     """
     points, _ = sample_points(params, alive, key, num_samples)
     idx = knn_indices(points, params.means, alive, k=k)
-    min_scale = jnp.min(jnp.exp(params.scales), axis=-1)
-    beta = jnp.mean(min_scale[idx], axis=-1)
+    # Snapshot beta for inspection/fallback; the LOSS recomputes it from
+    # the live scales each step (probe_beta) like the reference.
+    beta = probe_beta(params, idx)
     return DensityProbe(points=points, knn_idx=idx, beta=beta)
+
+
+def probe_beta(params: GaussianParams, knn_idx: jax.Array) -> jax.Array:
+    """Per-point SDF length scale beta from the CURRENT scales.
+
+    The reference recomputes ``exp(scales).min(-1)[idx].mean(1)`` inside
+    every training step (train.py:83): beta must track the live scales —
+    and carry gradient into them through exp(-sdf^2/2beta^2) and the
+    SDF-mode ``beta * sqrt(-2 log d)`` — rather than being frozen into the
+    probe for a whole densify interval."""
+    min_scale = jnp.min(jnp.exp(params.scales), axis=-1)
+    return jnp.mean(min_scale[knn_idx], axis=-1)
 
 
 def density_loss(
@@ -230,12 +255,13 @@ def density_loss(
     """The scheduled density loss term (train.py:84-91): masked-mean
     |d - d_hat|, or |beta*sqrt(-2 log d) - sdf_hat| in SDF mode."""
     d = density_at_points(probe.points, probe.knn_idx, params)
+    beta = probe_beta(params, probe.knn_idx)  # live scales, with gradient
     est, mask = approximate_density(
-        probe.points, depth_map, camera, probe.beta,
+        probe.points, depth_map, camera, beta,
         img_height, img_width, return_sdf=use_sdf,
     )
     if use_sdf:
-        sdf = probe.beta * jnp.sqrt(-2.0 * jnp.log(jnp.clip(d, 0.001, 0.999)))
+        sdf = beta * jnp.sqrt(-2.0 * jnp.log(jnp.clip(d, 0.001, 0.999)))
         err = jnp.abs(sdf - est)
     else:
         err = jnp.abs(d - est)

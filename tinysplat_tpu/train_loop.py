@@ -466,10 +466,13 @@ class Trainer:
             self._diffusion_guidance = DiffusionGuidance(cfg, rng_seed=cfg.seed)
             self._diffusion_real_cams = list(self.scene.cameras)
         synth = self._diffusion_guidance.refresh(self, self._diffusion_real_cams)
-        # Swap the synthetic set in-place; drop stale cached frames.
-        for cam in self.scene.cameras:
-            if cam.name and cam.name.startswith("diffusion_"):
-                self._image_cache.pop((cam.name, cam.width, cam.height), None)
+        # Swap the synthetic set in-place; drop stale cached frames at
+        # EVERY cached resolution (coarse-to-fine caches reduced dims too;
+        # evicting only the full-res key left stale coarse frames live).
+        stale_names = {c.name for c in self.scene.cameras
+                       if c.name and c.name.startswith("diffusion_")}
+        for k in [k for k in self._image_cache if set(k) & stale_names]:
+            del self._image_cache[k]
         self.scene.cameras = self._diffusion_real_cams + synth
         log.info("diffusion guidance: %d synthetic views refreshed at step %d",
                  len(synth), step)
