@@ -91,3 +91,43 @@ def test_extract_mesh_poisson_from_scene():
     # Surface near the shell radius (level-surface points ride the density).
     assert 0.2 < np.median(r) < 0.9, np.median(r)
     assert normals.shape == verts.shape
+
+
+def test_marching_tets_vectorized_matches_reference():
+    """The vectorized extractor must produce the same surface as the
+    per-cell Python oracle: identical vertex SETS (merge order may differ)
+    and identical triangle sets up to the shared re-indexing."""
+    from tinysplat_tpu.mesh import _marching_tetrahedra_reference, marching_tetrahedra
+
+    rng = np.random.default_rng(3)
+    n = 14
+    ax = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    field = np.exp(-4 * (X**2 + 1.3 * Y**2 + 0.7 * Z**2))
+    field += 0.05 * rng.standard_normal(field.shape)  # exercise odd cases
+    origin = np.array([-1.0, -1.0, -1.0])
+    spacing = 2.0 / (n - 1)
+
+    v_ref, f_ref = _marching_tetrahedra_reference(field, 0.5, origin, spacing)
+    v_new, f_new = marching_tetrahedra(field, 0.5, origin, spacing)
+
+    assert len(v_ref) == len(v_new)
+    assert len(f_ref) == len(f_new)
+    # Vertex sets match under lexicographic sort.
+    pr = np.lexsort(v_ref.T)
+    pn = np.lexsort(v_new.T)
+    np.testing.assert_allclose(v_ref[pr], v_new[pn], atol=1e-9)
+    # Triangle sets match as sets of (sorted) vertex-position triples.
+    inv_r = np.empty(len(v_ref), np.int64); inv_r[pr] = np.arange(len(pr))
+    inv_n = np.empty(len(v_new), np.int64); inv_n[pn] = np.arange(len(pn))
+    tr = np.sort(inv_r[f_ref], axis=1)
+    tn = np.sort(inv_n[f_new], axis=1)
+    tr = tr[np.lexsort(tr.T)]
+    tn = tn[np.lexsort(tn.T)]
+    np.testing.assert_array_equal(tr, tn)
+    # Winding agreed too: orientation counts match.
+    def signed_volume(v, f):
+        a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+        return np.sum(np.einsum("ij,ij->i", a, np.cross(b, c))) / 6.0
+    np.testing.assert_allclose(signed_volume(v_ref, f_ref),
+                               signed_volume(v_new, f_new), rtol=1e-6)

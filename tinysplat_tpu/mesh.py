@@ -95,6 +95,16 @@ def _tet_cases():
 
 _CASES = _tet_cases()
 
+# Static (16, 2, 3) table: TRI_TABLE[case, t] = the t-th triangle's three
+# edge indices (into _TET_EDGES), or -1 rows for absent triangles — the
+# vectorized kernel gathers through it per tet.
+_TRI_TABLE = np.full((16, 2, 3), -1, np.int32)
+for _case, _tris in enumerate(_CASES):
+    for _t, _tri in enumerate(_tris):
+        _TRI_TABLE[_case, _t] = _tri
+_EDGE_A = np.asarray([e[0] for e in _TET_EDGES], np.int32)
+_EDGE_B = np.asarray([e[1] for e in _TET_EDGES], np.int32)
+
 
 def marching_tetrahedra(
     field: np.ndarray,
@@ -104,9 +114,115 @@ def marching_tetrahedra(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the iso-surface of a (Nx, Ny, Nz) scalar field.
 
-    Returns (vertices (V, 3) world coords, faces (F, 3)). Vertices on shared
-    edges are merged (watertight where the field is well-behaved).
+    Returns (vertices (V, 3) world coords, faces (F, 3)). Vertices on
+    shared edges are merged (watertight where the field is well-behaved).
+
+    Fully vectorized over the ACTIVE (sign-changing) cells: the per-cell
+    Python loop of the reference implementation below costs minutes and the
+    all-cells (C, 8, 3) int64 corner materialization ~3 GB at a 256 grid;
+    here activity is found with 8 shifted boolean views, per-tet case ids
+    and triangle edges come from static tables, and shared-edge vertex
+    merging is one np.unique over packed (lo * nvox + hi) edge keys.
+    Equivalence with the reference oracle is tested
+    (tests/test_mesh.py::test_marching_tets_vectorized_matches_reference).
     """
+    nx, ny, nz = field.shape
+    b = field > iso
+    # Cell activity from shifted views — no (C, 8) materialization.
+    c_any = np.zeros((nx - 1, ny - 1, nz - 1), bool)
+    c_all = np.ones((nx - 1, ny - 1, nz - 1), bool)
+    for dx, dy, dz in _CORNERS:
+        v = b[dx:nx - 1 + dx, dy:ny - 1 + dy, dz:nz - 1 + dz]
+        c_any |= v
+        c_all &= v
+    cells = np.argwhere(c_any & ~c_all)  # (A, 3)
+    if len(cells) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+
+    strides = np.asarray([ny * nz, nz, 1], np.int64)
+    corner_off = (_CORNERS.astype(np.int64) @ strides)  # (8,)
+    g0 = cells.astype(np.int64) @ strides  # (A,)
+    cell_g = g0[:, None] + corner_off[None, :]  # (A, 8) flat grid ids
+    flat = field.ravel()
+    vals = flat[cell_g]  # (A, 8)
+    above = vals > iso
+
+    keys_acc, va_acc, vb_acc, ga_acc, gb_acc = [], [], [], [], []
+    nvox = np.int64(nx) * ny * nz
+    for tet in _TETS:  # 6 static iterations; everything inside is (A,)-wide
+        case = (
+            above[:, tet[0]].astype(np.int32)
+            | (above[:, tet[1]].astype(np.int32) << 1)
+            | (above[:, tet[2]].astype(np.int32) << 2)
+            | (above[:, tet[3]].astype(np.int32) << 3)
+        )
+        for t in range(2):
+            tri = _TRI_TABLE[case, t]  # (A, 3) edge indices or -1
+            valid = tri[:, 0] >= 0
+            if not valid.any():
+                continue
+            tri = tri[valid]  # (T, 3)
+            cg = cell_g[valid]
+            cv = vals[valid]
+            la = tet[_EDGE_A[tri]]  # (T, 3) local cube corners
+            lb = tet[_EDGE_B[tri]]
+            ga = np.take_along_axis(cg, la, axis=1)  # (T, 3) global ids
+            gb = np.take_along_axis(cg, lb, axis=1)
+            va = np.take_along_axis(cv, la, axis=1)
+            vb = np.take_along_axis(cv, lb, axis=1)
+            lo = np.minimum(ga, gb)
+            hi = np.maximum(ga, gb)
+            keys_acc.append(lo * nvox + hi)
+            # Canonical endpoint order (lo first) so every occurrence of an
+            # edge interpolates identically regardless of traversal side.
+            swap = ga > gb
+            va_c = np.where(swap, vb, va)
+            vb_c = np.where(swap, va, vb)
+            va_acc.append(va_c)
+            vb_acc.append(vb_c)
+            ga_acc.append(lo)
+            gb_acc.append(hi)
+
+    keys = np.concatenate([k.ravel() for k in keys_acc])
+    uniq, inv = np.unique(keys, return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int64)
+    first = np.full(len(uniq), -1, np.int64)
+    # First occurrence per unique key (stable: reverse fill).
+    order = np.arange(len(keys))[::-1]
+    first[inv[::-1]] = order
+    va_all = np.concatenate([v.ravel() for v in va_acc])[first]
+    vb_all = np.concatenate([v.ravel() for v in vb_acc])[first]
+    ga_all = np.concatenate([g.ravel() for g in ga_acc])[first]
+    gb_all = np.concatenate([g.ravel() for g in gb_acc])[first]
+    t_interp = (iso - va_all) / (vb_all - va_all)
+    pa = np.stack(np.unravel_index(ga_all, field.shape), axis=-1).astype(np.float64)
+    pb = np.stack(np.unravel_index(gb_all, field.shape), axis=-1).astype(np.float64)
+    verts_grid = pa + t_interp[:, None] * (pb - pa)
+
+    # Consistent outward winding (see the reference implementation).
+    grad = np.stack(np.gradient(field), axis=-1)
+    centroids = verts_grid[faces].mean(axis=1)
+    ci = np.clip(np.round(centroids).astype(np.int64), 0,
+                 np.asarray(field.shape) - 1)
+    g = grad[ci[:, 0], ci[:, 1], ci[:, 2]]
+    v0, v1, v2 = (verts_grid[faces[:, i]] for i in range(3))
+    fn = np.cross(v1 - v0, v2 - v0)
+    flip = np.sum(fn * g, axis=-1) > 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+
+    verts = verts_grid * spacing + np.asarray(origin)[None]
+    return verts, faces
+
+
+def _marching_tetrahedra_reference(
+    field: np.ndarray,
+    iso: float,
+    origin: np.ndarray,
+    spacing: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Readable per-cell Python implementation — kept as the tested ORACLE
+    for the vectorized `marching_tetrahedra` (same topology, same vertex
+    positions up to merge order). Do not call on large grids."""
     nx, ny, nz = field.shape
     cells = np.stack(
         np.meshgrid(np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1),
