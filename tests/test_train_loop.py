@@ -167,7 +167,7 @@ def test_nan_guard_rollback():
     snap_step = tr._guard_snapshot[2]
 
     # Poison one camera's cached GT to force a non-finite loss.
-    cam = scene.get_random_camera(tr.step + 1)
+    cam = scene.get_random_camera(tr.step)  # next step samples index `step`
     key = (cam.name, cam.width, cam.height)
     good = tr._device_image(cam, cam.width, cam.height)
     tr._image_cache[key] = good * jnp.nan

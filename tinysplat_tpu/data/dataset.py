@@ -123,7 +123,11 @@ class Dataset:
                     far=1000.0,
                     image=image,
                     visible_point_ids=np.asarray(visible),
-                    name=os.path.basename(img.name),
+                    # Keep the RELATIVE path as the name: COLMAP layouts may
+                    # hold left/001.jpg and right/001.jpg — a basename would
+                    # collide camera identities and every name-keyed cache
+                    # (depth/semantic .npy, pose slots, HBM image cache).
+                    name=img.name,
                 )
             )
 

@@ -14,6 +14,11 @@ from .align import match_scale, match_scale_disparity
 from .backends import load_backend
 from .sparse import estimate_sparse
 
+
+def _cache_key(name: str) -> str:
+    """Camera name -> flat cache file stem (names are relative paths)."""
+    return name.replace("/", "__").replace(os.sep, "__")
+
 log = logging.getLogger(__name__)
 
 
@@ -34,25 +39,26 @@ class DepthEstimator:
         self._model_name = model_name
 
         os.makedirs(depths_path, exist_ok=True)
-        stored = {}
-        for file_name in os.listdir(depths_path):
-            if file_name.endswith(".npy"):
-                stored[file_name[:-4]] = np.load(
-                    os.path.join(depths_path, file_name), allow_pickle=True
-                )
-
         if skip_init:
             return
-        missing = [c for c in scene.cameras if c.name not in stored]
+        # Cache files key on the SANITIZED camera name (names are relative
+        # paths — left/001.jpg and right/001.jpg must not share one file);
+        # maps load lazily per camera, not eagerly for the whole directory.
+        stored = {f[:-4] for f in os.listdir(depths_path)
+                  if f.endswith(".npy")}
+        missing = [c for c in scene.cameras
+                   if _cache_key(c.name) not in stored]
         if missing:
             self.backend = load_backend(model_name)
         for camera in scene.cameras:
-            if camera.name in stored:
-                camera.estimated_depth = np.asarray(stored[camera.name], np.float32)
+            fname = os.path.join(depths_path, _cache_key(camera.name) + ".npy")
+            if _cache_key(camera.name) in stored:
+                camera.estimated_depth = np.asarray(
+                    np.load(fname, allow_pickle=True), np.float32)
             else:
                 depth = self.estimate(camera)
                 camera.estimated_depth = depth.astype(np.float32)
-                np.save(os.path.join(depths_path, camera.name + ".npy"), depth)
+                np.save(fname, depth)
                 log.debug("estimated depth for %s", camera.name)
 
     def estimate(self, camera) -> np.ndarray:

@@ -27,7 +27,11 @@ def estimate_sparse(camera, pcd) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np
         x = xyz_cam[:, 0] / z
         y = xyz_cam[:, 1] / z
 
-    c_x, c_y = camera.width / 2, camera.height / 2
+    # Principal point: include the camera's offset — the regularizer's
+    # dense depth maps are rendered with cx = W/2 + cx_off, and the scale
+    # fit pairs this sparse projection with them pixel-by-pixel.
+    c_x = camera.width / 2 + getattr(camera, "cx_off", 0.0)
+    c_y = camera.height / 2 + getattr(camera, "cy_off", 0.0)
     x_2d = np.round(x * camera.f_x + c_x).astype(np.int64)
     y_2d = np.round(y * camera.f_y + c_y).astype(np.int64)
 

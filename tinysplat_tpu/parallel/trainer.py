@@ -207,8 +207,9 @@ class MeshTrainer(Trainer):
         # stages only its addressable shards (host_to_global).
         multi = jax.process_count() > 1
 
-        cams: List = [self.scene.get_random_camera(self.step * self.n_data + i)
-                      for i in range(self.n_data)]
+        cams: List = [  # 0-based sample index (see Trainer.train_step)
+            self.scene.get_random_camera((self.step - 1) * self.n_data + i)
+            for i in range(self.n_data)]
         h, w = self._c2f_dims(cams[0])  # full res unless coarse_to_fine
         cam_batch = jax.tree.map(
             lambda *xs: jnp.stack(xs),
@@ -343,17 +344,20 @@ class MeshTrainer(Trainer):
                     f"process")
             return super().render_camera(camera, dims, background)
         bg = background if background is not None else jnp.zeros(3)
+        state = self.state  # one atomic read (see Trainer.render_camera)
         key = ("sharded_render", h, w, self.cfg.rasterizer)
-        if key not in self._step_fns:
-            self._step_fns[key] = make_sharded_render(self.cfg, h, w, self.mesh)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            fn = self._step_fns[key] = make_sharded_render(
+                self.cfg, h, w, self.mesh)
         cam_params = camera.params()
         if multi:  # lockstep collective render: stage the host-side inputs
             cam_params = jax.tree.map(
                 lambda x: host_to_global(self.mesh, P(), np.asarray(x)),
                 cam_params)
             bg = host_to_global(self.mesh, P(), np.asarray(bg))
-        rgb, depth, alpha = self._step_fns[key](
-            self.state.params, self.state.alive, self.state.active_sh_degree,
+        rgb, depth, alpha = fn(
+            state.params, state.alive, state.active_sh_degree,
             cam_params, bg,
         )
         return rgb, {"depth": depth, "alpha": alpha}

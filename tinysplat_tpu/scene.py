@@ -27,6 +27,18 @@ class PointCloud:
 
     def get_points(self, ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         indices = np.searchsorted(self.point_ids, ids)
+        # Membership check: searchsorted on an absent id returns an
+        # insertion position — either out of bounds (IndexError) or a
+        # NEIGHBORING point's row, silently feeding wrong (xyz, error)
+        # pairs into the depth scale fit. Fail loudly instead (reference
+        # scene.py:234-239 has the silent behavior).
+        indices = np.clip(indices, 0, len(self.point_ids) - 1)
+        if not np.array_equal(self.point_ids[indices], np.asarray(ids)):
+            missing = np.asarray(ids)[self.point_ids[indices] != ids]
+            raise KeyError(
+                f"{missing.size} point3D id(s) absent from the cloud "
+                f"(e.g. {missing[:3].tolist()}) — corrupt/pruned COLMAP "
+                f"model")
         return self.xyz[indices], self.colors[indices], self.errors[indices]
 
 

@@ -62,23 +62,24 @@ class SemanticSegmenter:
         self._model_id = model if isinstance(model, str) else None
 
         os.makedirs(semantic_path, exist_ok=True)
-        stored = {}
-        for file_name in os.listdir(semantic_path):
-            if file_name.endswith(".npy"):
-                stored[file_name[:-4]] = np.load(
-                    os.path.join(semantic_path, file_name), allow_pickle=True
-                )
-
         if skip_init:
             return
+        # Same sanitized-name, lazy-load cache discipline as the depth
+        # estimator (camera names are relative paths).
+        from .depthest.estimator import _cache_key
+
+        stored = {f[:-4] for f in os.listdir(semantic_path)
+                  if f.endswith(".npy")}
         for camera in scene.cameras:
-            cached = stored.get(camera.name)
-            if cached is not None:
-                camera.semantic_map = np.asarray(cached)
+            fname = os.path.join(semantic_path,
+                                 _cache_key(camera.name) + ".npy")
+            if _cache_key(camera.name) in stored:
+                camera.semantic_map = np.asarray(
+                    np.load(fname, allow_pickle=True))
             else:
                 seg = self.estimate(camera)
                 camera.semantic_map = seg
-                np.save(os.path.join(semantic_path, camera.name + ".npy"), seg)
+                np.save(fname, seg)
                 log.debug("segmented %s", camera.name)
 
     def estimate(self, camera) -> np.ndarray:

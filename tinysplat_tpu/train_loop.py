@@ -486,7 +486,10 @@ class Trainer:
         self._maybe_refresh_density_probe()
         self._maybe_refresh_diffusion_views()
 
-        camera = self.scene.get_random_camera(self.step)
+        # 0-based sample index (step was just incremented): without the -1
+        # the first epoch would skip permutation position 0 — one camera
+        # untrained for a whole epoch.
+        camera = self.scene.get_random_camera(self.step - 1)
         h, w = self._c2f_dims(camera)
         gt = self._device_image(camera, w, h)
         est_depth = None
@@ -836,8 +839,16 @@ class Trainer:
         eagerly, which costs minutes per frame over a tunneled TPU."""
         w, h = dims if dims is not None else (camera.width, camera.height)
         bg = background if background is not None else jnp.zeros(3)
+        # SNAPSHOT the state once: the viewer thread renders concurrently
+        # with run_async's train_step executor thread, and reading
+        # params/alive/active_sh_degree as separate attribute accesses can
+        # tear across a densify capacity swap (params of 2N with alive of
+        # N). Python attribute reads are atomic; one read = one consistent
+        # state version (a frame may simply be one step stale).
+        state = self.state
         key = ("render", h, w, self.cfg.rasterizer)
-        if key not in self._step_fns:
+        fn = self._step_fns.get(key)
+        if fn is None:
             from .render import render as _render
 
             cfg = self.cfg
@@ -854,7 +865,7 @@ class Trainer:
                     antialiased=cfg.antialiased,
                 )
 
-            self._step_fns[key] = render_fn
+            fn = self._step_fns[key] = render_fn
         cam_params = camera.params()
         slot = self._pose_slot(camera)
         # --pose-opt: eval/viewer uses refined poses. (_pose_slot also
@@ -865,7 +876,5 @@ class Trainer:
             cam_params = jax.jit(apply_pose_delta)(
                 cam_params, self.pose_deltas[slot]
             )
-        return self._step_fns[key](
-            self.state.params, self.state.alive, cam_params,
-            self.state.active_sh_degree, bg,
-        )
+        return fn(state.params, state.alive, cam_params,
+                  state.active_sh_degree, bg)

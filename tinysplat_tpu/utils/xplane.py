@@ -20,10 +20,16 @@ from collections import defaultdict
 from typing import Dict, Iterator, List, Tuple
 
 
+class TraceParseError(ValueError):
+    """A corrupt/truncated .xplane.pb (profiler killed mid-flush etc.)."""
+
+
 def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
     result = 0
     shift = 0
     while True:
+        if pos >= len(buf):
+            raise TraceParseError("truncated trace: varint runs off the end")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -52,16 +58,22 @@ def _fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
             val = buf[pos : pos + 8]
             pos += 8
         else:
-            raise ValueError(f"unsupported wire type {wt}")
+            raise TraceParseError(
+                f"unsupported wire type {wt} (corrupt trace byte?)")
+        if wt == 2 and pos > n:
+            raise TraceParseError("truncated trace: field overruns buffer")
         yield field, wt, val
 
 
 def _parse_event(buf: bytes) -> Tuple[int, int]:
     mid = dur = 0
     for f, wt, v in _fields(buf):
-        if f == 1:
+        # Only VARINT-typed values are meaningful here; a future layout
+        # using these numbers for sub-messages must not hand bytes to the
+        # accumulators.
+        if f == 1 and wt == 0:
             mid = v
-        elif f == 3:
+        elif f == 3 and wt == 0:
             dur = v
     return mid, dur
 

@@ -78,7 +78,21 @@ class Viewer:
             self.clients.discard(client)
 
     async def handle_message(self, client: Client, message: str) -> None:
-        msg = json.loads(message)
+        # Tolerate garbage frames (proxies, extensions, buggy clients):
+        # one malformed message must not tear the connection down, and a
+        # malformed pose must never reach the render task.
+        try:
+            msg = json.loads(message)
+            if not isinstance(msg, dict):
+                raise ValueError("non-object message")
+            if "position" in msg or "quat" in msg:
+                pos = np.asarray(msg["position"], np.float32)
+                quat = np.asarray(msg["quat"], np.float32)
+                if pos.shape != (3,) or quat.shape != (4,):
+                    raise ValueError("bad pose shapes")
+        except (ValueError, KeyError, TypeError):
+            log.warning("ignoring malformed viewer message")
+            return
         if msg.get("type") == "cameraInfo":
             client.camera = copy.copy(self.scene.cameras[0])
             await self._enqueue(client, msg)
@@ -95,16 +109,19 @@ class Viewer:
         await self.queue.put((client, msg))
 
     async def process_queue(self) -> None:
+        # The ONE consumer for every client: nothing in the loop body may
+        # kill it — a mid-render disconnect or a bad pose affects only that
+        # frame (every future client would otherwise go dark silently).
         while True:
             client, msg = await self.queue.get()
-            if client.camera is None:
-                continue
-            if "position" in msg and "quat" in msg:
-                client.camera.update_view_matrix(
-                    np.asarray(msg["position"], np.float32),
-                    np.asarray(msg["quat"], np.float32),
-                )
             try:
+                if client.camera is None:
+                    continue
+                if "position" in msg and "quat" in msg:
+                    client.camera.update_view_matrix(
+                        np.asarray(msg["position"], np.float32),
+                        np.asarray(msg["quat"], np.float32),
+                    )
                 # Renders (and their first-time compiles) run in a worker
                 # thread so the event loop keeps serving sockets; JAX
                 # execution is thread-safe and releases the GIL.
@@ -112,11 +129,9 @@ class Viewer:
                 rgb, _ = await loop.run_in_executor(
                     None, self.scene.render, client.camera
                 )
-                img = np.asarray(rgb)
-            except Exception:  # keep serving on render errors
-                log.exception("viewer render failed")
-                continue
-            await client.send_image(img)
+                await client.send_image(np.asarray(rgb))
+            except Exception:  # keep serving: bad frame/pose/disconnect
+                log.exception("viewer frame dropped")
             await asyncio.sleep(0.02)
 
     async def run(self) -> None:
@@ -136,7 +151,10 @@ class Viewer:
             self.handle_client, self.ip, self.port, ping_interval=None
         )
         log.info("viewer listening on ws://%s:%d", self.ip, self.port)
-        asyncio.create_task(self.process_queue())
+        # Hold a strong reference: asyncio keeps only a weak ref to tasks,
+        # so an anonymous consumer could be garbage-collected mid-run (and
+        # its death would be unobservable).
+        self._queue_task = asyncio.create_task(self.process_queue())
         await self.server.wait_closed()
 
     def stop(self) -> None:
