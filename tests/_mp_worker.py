@@ -81,6 +81,18 @@ def main() -> int:
                      interval_opacity_reset=0, warmup_grad=0)
     pcd = synthetic_pcd(24, seed=2)
     state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=32)
+    if scenario == "density":
+        # The density window's start-step prune drops sigmoid(opacity)<0.5
+        # (reference semantics for late-stage models); a fresh 0.1-alpha
+        # init would be wiped out and the probe KNN would have nothing
+        # live to query. Start opaque.
+        import dataclasses
+
+        state = dataclasses.replace(
+            state, params=dataclasses.replace(
+                state.params,
+                opacities=jnp.where(state.alive[:, None], 2.2,
+                                    state.params.opacities)))
     tr = MeshTrainer(cfg, scene, state, mesh=make_mesh(2, 2))
 
     if scenario == "resume":

@@ -134,11 +134,13 @@ class FeatureVolumeEncoder(nn.Module):
         )  # (B, N, S*S*C, 3)
 
         # Pixel-aligned trilinear feature lookup (reference _sample_features).
-        z_min, z_max = float(z_samp[0]), float(z_samp[-1])
+        # Traced (not float()-materialized) bounds: the guidance path runs
+        # the whole pipeline under one jit.
+        z_min, z_max = z_samp[0], z_samp[-1]
 
         def sample_one(fvol, coords):
             # fvol (C, S, S); coords (P, 3) = (ndc_x, ndc_y, clip_z)
-            zc = 2 * (coords[:, 2] - z_min) / max(z_max - z_min, 1e-9) - 1
+            zc = 2 * (coords[:, 2] - z_min) / jnp.maximum(z_max - z_min, 1e-9) - 1
             ic = jnp.stack(
                 [
                     (zc * 0.5 + 0.5) * (fvol.shape[0] - 1),

@@ -99,6 +99,20 @@ class TinysplatDiffusionPipeline:
         sample_size = unet_cfg.get("sample_size", 64)
         ctx_dim = unet_cfg.get("cross_attention_dim", 768)
         feat_ch = unet_cfg.get("in_channels", 4) - latent_channels - 3
+        if feat_ch > 0:
+            import logging
+
+            # Surplus UNet input channels are ASSUMED to be a tinysplat
+            # feature volume (+3 xyz). Stock multi-channel SD variants
+            # (inpainting in_channels=9, depth=5) would be silently
+            # misloaded with a random-init volume where their weights
+            # expect mask/depth latents — say so.
+            logging.getLogger(__name__).warning(
+                "UNet in_channels=%d leaves %d channels beyond latents+xyz; "
+                "treating them as a tinysplat feature volume (random-init "
+                "encoder). If this is a stock inpainting/depth SD variant, "
+                "that assumption is wrong.",
+                unet_cfg.get("in_channels", 4), feat_ch)
 
         ks = jax.random.split(key, 3)
         em = EmbeddingMLP(conditioned_images=2, embed_dim=ctx_dim)
@@ -206,7 +220,15 @@ class TinysplatDiffusionPipeline:
         k_enc, k_noise = jax.random.split(key)
         latents0 = self.vae.apply(p["vae"], init_images, k_enc, method=AutoencoderKL.encode)
         ts = self.scheduler.timesteps(num_inference_steps)
-        t_start_idx = int(num_inference_steps * (1 - strength))
+        # diffusers img2img semantics: run the LAST round(n*strength) steps
+        # (int() truncation plus fp error ran one extra, noisier step; and
+        # strength=0 must return the init unchanged, not index past ts).
+        init_timestep = min(round(num_inference_steps * strength),
+                            num_inference_steps)
+        t_start_idx = num_inference_steps - init_timestep
+        if init_timestep == 0:
+            return self.vae.apply(p["vae"], latents0,
+                                  method=AutoencoderKL.decode)
         noise = jax.random.normal(k_noise, latents0.shape)
         latents = self.scheduler.add_noise(latents0, noise, ts[t_start_idx])
 

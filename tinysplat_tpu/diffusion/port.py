@@ -168,7 +168,15 @@ def load_unet(model_dir: str):
             jnp.zeros((1, 4, cfg.get("cross_attention_dim", 768))),
         )
     )
-    params, _ = convert_state_dict(load_state_dict(model_dir), params)
+    params, unused = convert_state_dict(load_state_dict(model_dir), params)
+    if unused:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%d checkpoint tensors had no place in the flax topology "
+            "(e.g. %s) — the ported model may omit semantics the "
+            "checkpoint was trained with",
+            len(unused), sorted(unused)[:3])
     return model, params
 
 
@@ -199,7 +207,15 @@ def load_text_encoder(model_dir: str):
     if not any(k.startswith("text_model.") for k in sd):
         sd = {f"text_model.{k}": v for k, v in sd.items()}
     sd.pop("text_model.embeddings.position_ids", None)
-    params, _ = convert_state_dict(sd, params)
+    params, unused = convert_state_dict(sd, params)
+    if unused:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%d checkpoint tensors had no place in the flax topology "
+            "(e.g. %s) — the ported model may omit semantics the "
+            "checkpoint was trained with",
+            len(unused), sorted(unused)[:3])
     return model, params
 
 
@@ -220,5 +236,13 @@ def load_vae(model_dir: str):
             jax.random.PRNGKey(1),
         )
     )
-    params, _ = convert_state_dict(load_state_dict(model_dir), params)
+    params, unused = convert_state_dict(load_state_dict(model_dir), params)
+    if unused:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%d checkpoint tensors had no place in the flax topology "
+            "(e.g. %s) — the ported model may omit semantics the "
+            "checkpoint was trained with",
+            len(unused), sorted(unused)[:3])
     return model, params

@@ -63,6 +63,23 @@ class DDIMScheduler:
                 "scheduler_config steps_offset=%s ignored (timesteps() uses "
                 "the trailing schedule)", cfg["steps_offset"],
             )
+        # Other semantics-bearing fields this implementation fixes: warn
+        # whenever the checkpoint's training-time settings deviate.
+        if cfg.get("timestep_spacing", "trailing") != "trailing":
+            logging.getLogger(__name__).warning(
+                "scheduler_config timestep_spacing=%r ignored (trailing "
+                "schedule is used)", cfg["timestep_spacing"])
+        if cfg.get("set_alpha_to_one", True) is False:
+            logging.getLogger(__name__).warning(
+                "scheduler_config set_alpha_to_one=false ignored (final "
+                "alpha_prev is fixed at 1.0)")
+        if cfg.get("rescale_betas_zero_snr", False):
+            logging.getLogger(__name__).warning(
+                "scheduler_config rescale_betas_zero_snr=true is not "
+                "implemented; the beta schedule is NOT zero-SNR rescaled")
+        if cfg.get("thresholding", False):
+            logging.getLogger(__name__).warning(
+                "scheduler_config thresholding=true is not implemented")
         return cls(
             num_train_timesteps=cfg.get("num_train_timesteps", 1000),
             beta_start=cfg.get("beta_start", 0.00085),

@@ -44,6 +44,7 @@ class CLIPLayer(nn.Module):
     hidden: int
     heads: int
     intermediate: int
+    hidden_act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x, mask):
@@ -51,7 +52,16 @@ class CLIPLayer(nn.Module):
         x = x + CLIPAttention(self.hidden, self.heads, name="self_attn")(h, mask)
         h = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
         h = nn.Dense(self.intermediate, name="mlp.fc1")(h)
-        h = quick_gelu(h)
+        # SD 1.x text encoders use quick_gelu; SD 2.x (OpenCLIP ViT-H)
+        # configs say hidden_act="gelu" — hardcoding either silently
+        # mis-ports the other family.
+        if self.hidden_act == "quick_gelu":
+            h = quick_gelu(h)
+        elif self.hidden_act == "gelu":
+            h = jax.nn.gelu(h, approximate=False)
+        else:
+            raise NotImplementedError(
+                f"CLIP hidden_act={self.hidden_act!r}")
         return x + nn.Dense(self.hidden, name="mlp.fc2")(h)
 
 
@@ -83,6 +93,7 @@ class CLIPTextModel(nn.Module):
         for i in range(cfg["num_hidden_layers"]):
             x = CLIPLayer(hidden, cfg["num_attention_heads"],
                           cfg["intermediate_size"],
+                          hidden_act=cfg.get("hidden_act", "quick_gelu"),
                           name=f"text_model.encoder.layers_{i}")(x, causal)
         x = nn.LayerNorm(epsilon=1e-5, name="text_model.final_layer_norm")(x)
         # transformers pooling: hidden at the first EOS position; configs

@@ -60,13 +60,13 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
         h = h + nn.Dense(self.out_channels, name="time_emb_proj")(
             nn.silu(temb)
         )[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if in_ch != self.out_channels:
@@ -130,11 +130,11 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x, context):
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
                                name="attn1")(
-            nn.LayerNorm(name="norm1")(x))
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
                                self.context_dim, name="attn2")(
-            nn.LayerNorm(name="norm2")(x), context)
-        x = x + FeedForward(self.dim, name="ff")(nn.LayerNorm(name="norm3")(x))
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
+        x = x + FeedForward(self.dim, name="ff")(nn.LayerNorm(epsilon=1e-5, name="norm3")(x))
         return x
 
 
@@ -151,7 +151,7 @@ class Transformer2DModel(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=self.groups, name="norm")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
             x = nn.Dense(self.channels, name="proj_in")(x)
@@ -173,13 +173,24 @@ class Transformer2DModel(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Stride-2 conv downsample.
+
+    torch-SD padding semantics differ by module: the UNet uses SYMMETRIC
+    padding=1 (downsample_padding=1 — output pixel o reads inputs
+    2o-1..2o+1), while the VAE uses padding=0 plus an asymmetric
+    F.pad(0,1,0,1). Porting a checkpoint onto the wrong one silently
+    shifts every downsampled activation by one input pixel."""
+
     channels: int
+    asymmetric_pad: bool = False  # True: VAE semantics; False: UNet
 
     @nn.compact
     def __call__(self, x):
-        # diffusers pads (0, 1) x (0, 1) for stride-2 conv
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(self.channels, (3, 3), strides=2, padding="VALID",
+        if self.asymmetric_pad:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return nn.Conv(self.channels, (3, 3), strides=2, padding="VALID",
+                           name="conv")(x)
+        return nn.Conv(self.channels, (3, 3), strides=2, padding=1,
                        name="conv")(x)
 
 
@@ -277,7 +288,7 @@ class UNet2DConditionModel(nn.Module):
             if i < len(up_types) - 1:
                 h = Upsample2D(ch, name=f"up_blocks_{i}.upsamplers_0")(h)
 
-        h = nn.GroupNorm(num_groups=groups, name="conv_norm_out")(h)
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.get("out_channels", 4), (3, 3), padding=1,
                        name="conv_out")(h)

@@ -68,7 +68,7 @@ class Encoder(nn.Module):
                 h = VaeResnetBlock(chans[i], groups,
                                    name=f"down_blocks_{i}.resnets_{j}")(h)
             if i < len(chans) - 1:
-                h = Downsample2D(chans[i],
+                h = Downsample2D(chans[i], asymmetric_pad=True,  # VAE pad(0,1)
                                  name=f"down_blocks_{i}.downsamplers_0")(h)
         h = VaeResnetBlock(chans[-1], groups, name="mid_block.resnets_0")(h)
         h = VaeAttention(chans[-1], groups, name="mid_block.attentions_0")(h)

@@ -14,14 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-
-def _gn(channels: int) -> nn.GroupNorm:
-    """GroupNorm with the largest power-of-two group count (<=32) that
-    divides `channels` (flax requires num_groups | channels)."""
-    g = 32
-    while g > 1 and channels % g:
-        g //= 2
-    return nn.GroupNorm(num_groups=g)
+from .unet import _gn  # single GroupNorm-group helper (was duplicated)
 
 
 class _Down(nn.Module):

@@ -158,11 +158,25 @@ class DiffusionGuidance:
                 real_cams[ia].params(), real_cams[ib].params(),
             )
             cam_tg = jax.tree.map(lambda x: x[None], novel.params())
-            out = self.pipeline(
+            # One compiled executable for the whole pipeline: shapes are
+            # identical across views and refreshes, so the eager per-op
+            # dispatch (VAE + UNet graph re-traced per call — minutes over
+            # a tunneled TPU) collapses into a single cached jit.
+            if getattr(self, "_jit_pipe", None) is None:
+                pipe, steps, strength = (self.pipeline,
+                                         cfg.diffusion_inference_steps,
+                                         cfg.diffusion_strength)
+
+                @jax.jit
+                def _jit_pipe(init, cam_tg, cam_in, input_imgs, key):
+                    return pipe(init, cam_tg, cam_in, input_imgs,
+                                num_inference_steps=steps,
+                                strength=strength, key=key)
+
+                self._jit_pipe = _jit_pipe
+            out = self._jit_pipe(
                 init, cam_tg, cam_in, input_imgs,
-                num_inference_steps=cfg.diffusion_inference_steps,
-                strength=cfg.diffusion_strength,
-                key=jax.random.PRNGKey(int(self._rng.integers(1 << 31))),
+                jax.random.PRNGKey(int(self._rng.integers(1 << 31))),
             )
             frame = np.clip(
                 (np.asarray(jax.device_get(out[0])).transpose(1, 2, 0) + 1.0)

@@ -454,6 +454,13 @@ class Trainer:
         if not cfg.regularize_diffusion:
             return
         if not (cfg.regularize_diffusion_start <= step < cfg.regularize_diffusion_end):
+            # Window closed: the LAST refresh's synthetic views must not
+            # keep training the (now better) model toward stale frames.
+            if (step >= cfg.regularize_diffusion_end
+                    and getattr(self, "_diffusion_real_cams", None) is not None
+                    and len(self.scene.cameras) != len(self._diffusion_real_cams)):
+                self.scene.cameras = self._diffusion_real_cams
+                log.info("diffusion window ended: synthetic views removed")
             return
         first = step == cfg.regularize_diffusion_start or (
             getattr(self, "_diffusion_guidance", None) is None
