@@ -51,7 +51,7 @@ def test_regularize_diffusion_trains_without_nans():
     cfg = Config(rasterizer="tiled", sh_degree=1, warmup_densify=10**9,
                  interval_opacity_reset=0, warmup_grad=0,
                  regularize_diffusion=True, lambda_diffusion=0.5,
-                 regularize_diffusion_start=2, regularize_diffusion_end=100,
+                 regularize_diffusion_start=2, regularize_diffusion_end=8,
                  interval_diffusion=3, diffusion_inference_steps=2,
                  diffusion_strength=0.5)
     state = init_from_pcd(pcd.xyz, pcd.colors, sh_degree=1, capacity=64)
@@ -65,3 +65,10 @@ def test_regularize_diffusion_trains_without_nans():
     losses = [float(jax.device_get(v)) for v in tr.metrics._pending.get("loss", [])]
     assert all(np.isfinite(l) for l in losses + [0.0])
     assert np.isfinite(np.asarray(tr.state.params.means)).all()
+    # Window END: the synthetic views must be removed, not trained against
+    # as stale frames forever (regularize_diffusion_end=8).
+    tr.run(10)
+    synth_after = [c for c in tr.scene.cameras
+                   if c.name and c.name.startswith("diffusion_")]
+    assert synth_after == []
+    assert len(tr.scene.cameras) == 4  # the real set is back
