@@ -89,3 +89,35 @@ def test_tiled_empty_scene():
         jnp.zeros(8), jnp.zeros(8, bool), 20, 24, bg)
     np.testing.assert_allclose(np.asarray(img), np.broadcast_to(np.asarray(bg), (20, 24, 4)), atol=1e-6)
     np.testing.assert_allclose(np.asarray(alpha), 0.0, atol=1e-6)
+
+
+def test_tiled_early_exit_across_chunk_boundary():
+    """A pixel that crossed T_EPS inside one scan chunk must STAY dead in
+    the next (regression: carrying only the frozen transmittance let the
+    pixel 'resurrect' — the killing splat's factor was dropped from the
+    carry, so later chunks composited splats the CUDA early-exit rule
+    excludes)."""
+    n = 8
+    xys = np.tile(np.array([[8.0, 8.0]], np.float32), (n, 1))
+    depths = np.arange(1, n + 1, dtype=np.float32)
+    conics = np.tile(np.array([[0.5, 0.0, 0.5]], np.float32), (n, 1))
+    radii = np.full((n,), 12, np.int32)
+    colors = np.linspace(0.1, 0.9, n)[:, None].repeat(3, 1).astype(np.float32)
+    opac = np.concatenate([np.full(2, 0.999), np.full(n - 2, 0.5)]).astype(
+        np.float32)
+    valid = np.ones(n, bool)
+    H = W = 16
+    bg = np.zeros(3, np.float32)
+    ref_img, ref_alpha = rasterize_dense(
+        jnp.asarray(xys), jnp.asarray(depths), jnp.asarray(conics),
+        jnp.asarray(colors), jnp.asarray(opac), jnp.asarray(valid),
+        H, W, jnp.asarray(bg))
+    # chunk=2: the pixel dies inside chunk 1 (two 0.999-alpha splats).
+    img, alpha = rasterize_tiled(
+        jnp.asarray(xys), jnp.asarray(depths), jnp.asarray(radii),
+        jnp.asarray(conics), jnp.asarray(colors), jnp.asarray(opac),
+        jnp.asarray(valid), H, W, jnp.asarray(bg), tile_size=16, chunk=2)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               atol=3e-6)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha),
+                               atol=3e-6)

@@ -105,13 +105,24 @@ def rasterize_tiled(
     # (num_chunks, T, chunk) scan order
     idx = jnp.transpose(idx.reshape(num_tiles, num_chunks, chunk), (1, 0, 2))
 
-    px = _tile_pixel_coords(tiles_x, tiles_y, tile_size, dtype,
+    # Pixel coords follow the GEOMETRY dtype (rasterize_dense.pixel_grid
+    # semantics) — keying them off colors.dtype would round coordinates
+    # >= 256 under bf16 colors.
+    px = _tile_pixel_coords(tiles_x, tiles_y, tile_size, xys.dtype,
                             row_stride, row_offset)  # (T, P, 2)
     opac = opacities.reshape(-1)
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def chunk_body(carry, ids):
-        img_acc, t_carry = carry  # (T, P, C), (T, P)
+        # t_raw: RAW running product over every kept alpha — monotone
+        # decreasing, so the T_EPS liveness test stays permanently dead
+        # across chunk boundaries (carrying only the frozen value let a
+        # saturated pixel 'resurrect' when the raw product at the boundary
+        # was below T_EPS but the frozen carry was above it).
+        # t_frozen: transmittance frozen at death — the CUDA T the
+        # background blends with. While live the two are equal, so the
+        # composite weights can use the raw series.
+        img_acc, t_raw, t_frozen = carry  # (T, P, C), (T, P), (T, P)
         safe = jnp.maximum(ids, 0)  # (T, chunk)
         live_id = ids >= 0
         g_xy = xys[safe]  # (T, chunk, 2)
@@ -129,9 +140,9 @@ def rasterize_tiled(
         keep = (sigma >= 0.0) & (alpha >= ALPHA_EPS)
         alpha = jnp.where(keep, alpha, 0.0)  # (T, chunk, P)
 
-        # In-chunk cumulative transmittance, seeded by the carry.
-        t_incl = t_carry[:, None, :] * jnp.cumprod(1.0 - alpha, axis=1)
-        t_excl = jnp.concatenate([t_carry[:, None, :], t_incl[:, :-1, :]], axis=1)
+        # In-chunk cumulative transmittance, seeded by the RAW carry.
+        t_incl = t_raw[:, None, :] * jnp.cumprod(1.0 - alpha, axis=1)
+        t_excl = jnp.concatenate([t_raw[:, None, :], t_incl[:, :-1, :]], axis=1)
         live = t_incl > T_EPS  # exact CUDA early-exit rule (rasterize_dense doc)
         w = jnp.where(live, alpha * t_excl, 0.0)  # (T, chunk, P)
 
@@ -139,19 +150,20 @@ def rasterize_tiled(
         img_acc = img_acc + jnp.einsum(
             "tkp,tkc->tpc", w, g_col, preferred_element_type=jnp.float32
         )
-        # Carry transmittance: frozen once dead (min over live prefix).
-        t_next = jnp.min(
-            jnp.where(live, t_incl, jnp.broadcast_to(t_carry[:, None, :], t_incl.shape)),
+        # Frozen carry: last LIVE inclusive transmittance (death value).
+        t_frozen_next = jnp.min(
+            jnp.where(live, t_incl, jnp.broadcast_to(t_frozen[:, None, :], t_incl.shape)),
             axis=1,
         )
-        t_next = jnp.minimum(t_next, t_carry)
-        return (img_acc, t_next), None
+        t_frozen_next = jnp.minimum(t_frozen_next, t_frozen)
+        return (img_acc, t_incl[:, -1, :], t_frozen_next), None
 
     init = (
         jnp.zeros((num_tiles, p, c), jnp.float32),
-        jnp.ones((num_tiles, p), dtype),
+        jnp.ones((num_tiles, p), jnp.float32),
+        jnp.ones((num_tiles, p), jnp.float32),
     )
-    (img_tiles, t_final), _ = jax.lax.scan(chunk_body, init, idx)
+    (img_tiles, _, t_final), _ = jax.lax.scan(chunk_body, init, idx)
     img_tiles = img_tiles.astype(dtype) + t_final[..., None] * background[None, None, :]
 
     # (T, P, C) -> (H_pad, W_pad, C) -> crop

@@ -109,7 +109,7 @@ def render(
     max_per_tile: int = 0,
     span_capacity: int = 0,
     grad_reduce: str = "sorted",
-    chunk: int = 128,
+    chunk: int = 128,  # pallas-only (DMA window); tiled has its own scan chunk
     tiles_per_block: int = 8,
     antialiased: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
