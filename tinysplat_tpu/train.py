@@ -70,12 +70,14 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     ``update_learning_rate`` is a no-op TODO, scripts/train.py:48): with
     lr_means_final > 0, the means LR interpolates log-linearly from lr_means
     to lr_means_final over lr_means_decay_steps (default max_iter).
+
+    NOTE: 3DGS also multiplies the position LR by the scene extent
+    (spatial_lr_scale); the reference omits that factor and so do we — on
+    scenes far from unit scale, tune --lr-means accordingly.
     """
     lrs = lr_tree(cfg)
     decay_steps = cfg.lr_means_decay_steps or cfg.max_iter
     use_decay = cfg.lr_means_final > 0.0 and decay_steps > 0
-    if use_decay:
-        log_ratio = float(np_log(cfg.lr_means_final / cfg.lr_means))
 
     def scale_init(params):
         del params
@@ -84,9 +86,11 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     def scale_update(updates, state, params=None):
         del params
         if use_decay:
-            frac = jnp.clip(state.count / decay_steps, 0.0, 1.0)
-            means_lr = cfg.lr_means * jnp.exp(log_ratio * frac)
-            step_lrs = dataclasses.replace(lrs, means=means_lr)
+            # ONE schedule definition (means_lr_at) for the optimizer and
+            # the MCMC noise scale — two inline copies once skewed by a
+            # tick and had to be edited in lockstep.
+            step_lrs = dataclasses.replace(
+                lrs, means=means_lr_at(cfg, state.count))
         else:
             step_lrs = lrs
         scaled = jax.tree.map(lambda g, lr: -lr * g, updates, step_lrs)

@@ -433,7 +433,11 @@ class Trainer:
             # (train.py:105-107).
             mask = jax.nn.sigmoid(self.state.params.opacities[:, 0]) < 0.5
             self.state, self.opt_state = prune_by_mask(self.state, self.opt_state, mask)
-        update = step == cfg.regularize_density_start or step % self.interval_densify == 1
+        # Refresh cadence uses the RAW flag (reference train.py:79 gates on
+        # args.interval_densify, default 100) — self.interval_densify is
+        # overridden to the camera count for the densify pass itself.
+        update = (step == cfg.regularize_density_start
+                  or step % max(cfg.interval_densify, 1) == 1)
         if update or self.density_probe is None:
             from .regularizers.density import make_density_probe
 
@@ -561,8 +565,13 @@ class Trainer:
             self.state, self.opt_state = reset_opacities(
                 self.state, cfg.epsilon_alpha, opt_state=self.opt_state)
 
-        num_live = int(jax.device_get(out.metrics["num_live"]))
-        self.metrics.log(self.step, extra=f"N: {num_live}")
+        # Host syncs are CADENCED, never per-step: a device_get blocks the
+        # host until the just-dispatched step finishes, so per-step fetches
+        # serialize host prep against device compute and add a full RTT per
+        # step over a tunneled TPU (train_loop module docstring bullet 5).
+        if self.step % self.metrics.num_cameras == 0:
+            num_live = int(jax.device_get(out.metrics["num_live"]))
+            self.metrics.log(self.step, extra=f"N: {num_live}")
         self._nan_guard(out.metrics["loss"])
         self._maybe_checkpoint()
 
@@ -644,6 +653,13 @@ class Trainer:
         """
         interval = self.cfg.nan_guard_interval
         if interval <= 0:
+            return
+        # The loss fetch is a blocking host sync; check on a cadence (and
+        # ALWAYS on snapshot steps — a NaN state must never be snapshotted)
+        # instead of every step. A divergence is caught within check_every
+        # steps, well inside the rollback window.
+        check_every = max(1, min(interval // 2, self.metrics.num_cameras))
+        if self.step % check_every != 0 and self.step % interval != 0:
             return
         if not np.isfinite(float(jax.device_get(loss))):
             if self._guard_snapshot is None:

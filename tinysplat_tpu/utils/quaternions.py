@@ -47,9 +47,15 @@ def quat_to_rotmat(quats: jax.Array) -> jax.Array:
 def quat_to_rotmat_np(quat: np.ndarray) -> np.ndarray:
     """Numpy single-quaternion variant for host-side camera pose math.
 
-    Semantics of /root/reference/tinysplat/utils.py:29-39 (no normalization —
-    COLMAP qvecs are already unit quaternions).
+    Semantics of /root/reference/tinysplat/utils.py:29-39, plus
+    normalization: COLMAP qvecs are unit, but this also receives viewer
+    websocket quats (JS slerp drifts off the unit sphere) — an
+    unnormalized q would build a scaled, sheared 'rotation'.
     """
+    n = float(np.linalg.norm(np.asarray(quat, np.float64)))
+    if not np.isfinite(n) or n < 1e-12:
+        raise ValueError(f"degenerate quaternion (norm {n})")
+    quat = np.asarray(quat, np.float64) / n
     q0, q1, q2, q3 = float(quat[0]), float(quat[1]), float(quat[2]), float(quat[3])
     return np.asarray(
         [
