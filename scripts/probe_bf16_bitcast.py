@@ -71,6 +71,15 @@ def _kernel_d(x_ref, o_ref, c_ref):
     c_ref[...] = jax.lax.bitcast_convert_type(x[:, L:], jnp.bfloat16)
 
 
+def _kernel_e(x_ref, o_ref):
+    """Reverse direction (grad-output pack): f32 -> u16 lo/hi halves."""
+    x = x_ref[...]  # (S, L) f32
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    lo = (u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    hi = (u >> 16).astype(jnp.uint16)
+    o_ref[...] = jnp.concatenate([lo, hi], axis=1)  # (S, 2L) u16
+
+
 def main():
     rng = np.random.default_rng(0)
     f32 = (rng.normal(size=(S, L)).astype(np.float32)
@@ -115,6 +124,19 @@ def main():
               f"bf16_exact={exact_col}")
     except Exception as e:
         print(f"D uint16 window  : FAILED to lower: {str(e).splitlines()[0][:120]}")
+
+    # E: f32 -> u16 halves (the grad-output pack direction).
+    try:
+        fn = pl.pallas_call(
+            _kernel_e,
+            out_shape=jax.ShapeDtypeStruct((S, 2 * L), jnp.uint16),
+            interpret=interpret)
+        out = np.asarray(jax.jit(fn)(jnp.asarray(f32)))
+        exact = (np.array_equal(out[:, :L], lo16)
+                 and np.array_equal(out[:, L:], hi16))
+        print(f"E f32->u16 pack  : lowered, exact={exact}")
+    except Exception as e:
+        print(f"E f32->u16 pack  : FAILED to lower: {str(e).splitlines()[0][:120]}")
 
 
 if __name__ == "__main__":

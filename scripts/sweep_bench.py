@@ -1,0 +1,82 @@
+"""Sweep rasterizer tuning knobs on the chip; print one JSON line per config.
+
+Times ONLY the differentiable render (fwd+bwd) — the bench.py headline
+metric — for a grid of (grad_reduce, tiles_per_block, chunk) configs in one
+process (compile cache amortizes across configs).
+
+Usage: python scripts/sweep_bench.py --configs sorted:8:128 segment:8:128 ...
+       (each config is grad_reduce:tpb:chunk)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=1 << 18)
+    p.add_argument("--height", type=int, default=1066)
+    p.add_argument("--width", type=int, default=1600)
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--configs", nargs="+",
+                   default=["sorted:8:128", "segment:8:128", "scatter:8:128"])
+    args = p.parse_args()
+
+    from tinysplat_tpu.data.synthetic import orbit_cameras
+    from tinysplat_tpu.render import render
+    from __graft_entry__ import _example_state
+
+    state = _example_state(n=args.n, capacity=args.n,
+                           scale_range=(0.002, 0.01))
+    cam = orbit_cameras(1, width=args.width, height=args.height)[0].params()
+    background = jnp.zeros((3,), jnp.float32)
+    backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+
+    for cfg in args.configs:
+        gr, tpb, chunk = cfg.split(":")
+        tpb, chunk = int(tpb), int(chunk)
+
+        def loss_fn(params):
+            rgb, extras = render(
+                params, state.alive, cam, args.height, args.width,
+                active_sh_degree=jnp.int32(3), background=background,
+                rasterizer=backend, dup_capacity=1_280_000,
+                span_capacity=786_432, max_per_tile=2048,
+                grad_reduce=gr, chunk=chunk, tiles_per_block=tpb,
+            )
+            return jnp.sum(rgb) + jnp.sum(extras["depth"])
+
+        step = jax.jit(jax.grad(loss_fn))
+        try:
+            g = step(state.params)
+            jax.block_until_ready(g)
+            for _ in range(args.warmup):
+                g = step(state.params)
+            jax.block_until_ready(g)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                g = step(state.params)
+            jax.block_until_ready(g)
+            dt = time.perf_counter() - t0
+            ms = dt / args.iters * 1000.0
+            print(json.dumps({
+                "config": cfg, "ms_per_iter": round(ms, 2),
+                "msplats_s": round(args.n * args.iters / dt / 1e6, 3),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "config": cfg,
+                "error": str(e).splitlines()[0][:200],
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,8 @@ cumulative sum + boundary differences — no per-index scatter at all).
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,6 +136,13 @@ def _rank_sort(ids, n):
     return jax.lax.sort((ids, iota), num_keys=1, is_stable=True)
 
 
+# Experiment switch: gather FULL-width gradient rows (32 s16 cols) instead of
+# the 20 live ones. XLA:TPU assigns narrow (d2p, 20) s16 arrays a transposed
+# {0,1} layout whose row gather touches 20 non-contiguous lines per index
+# (measured 10.9 ms vs 2.1 ms for the row-major 32-col attr gather).
+_GATHER_WIDE = os.environ.get("TINYSPLAT_GATHER_WIDE", "0") == "1"
+
+
 def _sorted_bwd(res, g):
     """Rank-sorted scatter-add: one 2-op sort + an int16 permutation gather
     turn the random-index scatter into a sorted-indices one (measured ~1.6x
@@ -141,7 +150,10 @@ def _sorted_bwd(res, g):
     ids, n = res
     used = min(GRAD_ROWS, g.shape[1])
     sorted_ids, perm = _rank_sort(ids, n)
-    gs = _row_gather_i16(g[:, :used], perm)
+    if _GATHER_WIDE:
+        gs = _row_gather_i16(g, perm)[:, :used]
+    else:
+        gs = _row_gather_i16(g[:, :used], perm)
     dtable = jnp.zeros((n, used), g.dtype).at[sorted_ids].add(
         gs, indices_are_sorted=True
     )
@@ -192,7 +204,10 @@ def _segment_bwd(res, g):
     used = min(GRAD_ROWS, g.shape[1])
     d = ids.shape[0]
     sorted_ids, perm = _rank_sort(ids, n)
-    gs = _row_gather_i16(g[:, :used], perm)  # (D, used) rank-major
+    if _GATHER_WIDE:
+        gs = _row_gather_i16(g, perm)[:, :used]  # (D, used) rank-major
+    else:
+        gs = _row_gather_i16(g[:, :used], perm)
     s = _cumsum_rows(gs)
     nxt = jnp.concatenate(
         [sorted_ids[1:], jnp.full((1,), n + 1, sorted_ids.dtype)]
@@ -333,11 +348,18 @@ def _alphas(attrs, px, py, ent_ok):
 # -----------------------------------------------------------------------------
 
 
-import os
-
 # Debug/bisect switches (perf-neutral when left at defaults).
 _PREFETCH = os.environ.get("TINYSPLAT_PALLAS_PREFETCH", "1") == "1"
 _EARLY_EXIT = os.environ.get("TINYSPLAT_PALLAS_EARLY_EXIT", "1") == "1"
+# TIMING-ONLY bisects for the backward store pipeline (results are WRONG at
+# tile-boundary overlaps / entirely): never enable outside profiling runs.
+_UNSAFE_STORES = os.environ.get("TINYSPLAT_PALLAS_UNSAFE_STORES", "0") == "1"
+_NO_STORES = os.environ.get("TINYSPLAT_PALLAS_NO_STORES", "0") == "1"
+# TIMING-ONLY compute bisect: 1 = replace the per-window compositing /
+# gradient math with a near-empty touch of the window (keeps the DMA
+# pipeline, loops, and stores); isolates DMA+loop skeleton cost from VPU/MXU
+# compute cost. Results are garbage — profiling runs only.
+_SKELETON = os.environ.get("TINYSPLAT_PALLAS_SKELETON", "0") == "1"
 
 
 def _win_dma(src_ref, buf, sem, off, slot, chunk):
@@ -446,6 +468,10 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad,
             slot = _acquire(attrs_ref, buf, sem, pstate, off, next_off, chunk)
             attrs = buf[slot]  # (CHUNK, TROWS)
 
+            if _SKELETON:  # timing bisect: DMA + loop only, no compositing
+                carry[1:2, :] = carry[1:2, :] + 0.0 * jnp.sum(attrs)
+                return k + 1, k > -1  # traced bool: keeps the while carry i1
+
             ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
             alpha, _, _, _ = _alphas(attrs, px, py, ent < cnt)
             om = 1.0 - alpha  # >= 1e-3 wherever alpha > 0 (clamped at 0.999)
@@ -496,6 +522,11 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad,
             jax.lax.fori_loop(
                 0, nchunks, lambda k, _: body((k, True))[1], True
             )
+        if _SKELETON:
+            # Mark every entry a contributor so the backward bisect still
+            # walks full live ranges (zeros would starve it via nlive == 0).
+            carry[3:4, :] = jnp.broadcast_to(
+                cnt.astype(jnp.float32), (1, P))
 
         out_ref[tt] = jnp.concatenate(
             [carry[4:8, :], carry[0:1, :], carry[2:4, :],
@@ -534,9 +565,8 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
     def _():
         pstate[0] = -1
         pstate[1] = 0
-        ostate[0] = 0
-        ostate[1] = 0
-        ostate[2] = 0
+        for i in range(7):
+            ostate[i] = 0
 
     px, py = _pixel_coords_local()
 
@@ -568,18 +598,39 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
                 ),
             )
             slot = _acquire(attrs_ref, ibuf, isem, pstate, off, next_off, chunk)
-            dattrs = _bwd_window(chunk, k, cnt, ibuf[slot], fg_ref, tt, carry,
-                                 px, py)
-            # Output pipeline: wait the previous store, then issue this one.
+            if _SKELETON:  # timing bisect: DMA + loop + store, no gradients
+                dattrs = jnp.zeros((chunk, TROWS), jnp.float32) + 0.0 * jnp.sum(
+                    ibuf[slot])
+            else:
+                dattrs = _bwd_window(chunk, k, cnt, ibuf[slot], fg_ref, tt,
+                                     carry, px, py)
+            if _NO_STORES:  # timing bisect: measure everything but the store
+                # Keep dattrs from being DCE'd: fold a 0-scaled sum into the
+                # carry (numerically a no-op; the OUTPUT is garbage anyway).
+                carry[1:2, :] = carry[1:2, :] + 0.0 * jnp.sum(dattrs)
+                return 0
             oslot = 1 - ostate[1]
-
-            @pl.when(ostate[0] == 1)
-            def _():
-                pltpu.make_async_copy(
-                    obuf.at[ostate[1]],
-                    dattrs_ref.at[pl.ds(ostate[2], chunk), :],
-                    osem.at[ostate[1]],
-                ).wait()
+            if _UNSAFE_STORES:
+                # Timing bisect: wait only for SLOT reuse (2-deep pipeline,
+                # no cross-slot ordering) — overlapping boundary windows race.
+                @pl.when(ostate[3 + oslot] == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        obuf.at[oslot],
+                        dattrs_ref.at[pl.ds(ostate[5 + oslot], chunk), :],
+                        osem.at[oslot],
+                    ).wait()
+            else:
+                # Wait the previous store, then issue this one: besides
+                # bounding buffers, this ORDERS the stores (module docstring
+                # on overlapping boundary windows).
+                @pl.when(ostate[0] == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        obuf.at[ostate[1]],
+                        dattrs_ref.at[pl.ds(ostate[2], chunk), :],
+                        osem.at[ostate[1]],
+                    ).wait()
 
             obuf[oslot] = dattrs
             pltpu.make_async_copy(
@@ -590,6 +641,8 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
             ostate[0] = 1
             ostate[1] = oslot
             ostate[2] = off
+            ostate[3 + oslot] = 1
+            ostate[5 + oslot] = off
             return 0
 
         jax.lax.fori_loop(0, nl, body, 0)
@@ -600,15 +653,25 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
         _drain_pending(attrs_ref, ibuf, isem, pstate, chunk)
-
-        @pl.when(ostate[0] == 1)
-        def _():
-            pltpu.make_async_copy(
-                obuf.at[ostate[1]],
-                dattrs_ref.at[pl.ds(ostate[2], chunk), :],
-                osem.at[ostate[1]],
-            ).wait()
-            ostate[0] = 0
+        if _UNSAFE_STORES:
+            for s in (0, 1):
+                @pl.when(ostate[3 + s] == 1)
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        obuf.at[s],
+                        dattrs_ref.at[pl.ds(ostate[5 + s], chunk), :],
+                        osem.at[s],
+                    ).wait()
+                    ostate[3 + s] = 0
+        elif not _NO_STORES:
+            @pl.when(ostate[0] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[ostate[1]],
+                    dattrs_ref.at[pl.ds(ostate[2], chunk), :],
+                    osem.at[ostate[1]],
+                ).wait()
+                ostate[0] = 0
 
 
 def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
@@ -755,7 +818,7 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int):
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((8, P), jnp.float32),
                 pltpu.SMEM((2,), jnp.int32),
-                pltpu.SMEM((3,), jnp.int32),
+                pltpu.SMEM((8,), jnp.int32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((d2p, TROWS), jnp.float32),
