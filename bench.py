@@ -60,8 +60,9 @@ BASELINE_MSPLATS_S = 25.0
 
 
 def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
-         iters: int = 30, warmup: int = 5, grad_reduce: str = "sorted",
-         tiles_per_block: int = 8) -> None:
+         iters: int = 30, warmup: int = 5, grad_reduce: str = "scatter",
+         tiles_per_block: int = 8, tile_x: int = 64,
+         dup_capacity: int = 0, span_capacity: int = 0) -> None:
     from tinysplat_tpu.data.synthetic import orbit_cameras
     from tinysplat_tpu.render import render
     from __graft_entry__ import _example_state
@@ -73,23 +74,30 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
     background = jnp.zeros((3,), jnp.float32)
     backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
 
+    # Tuned from measured diagnostics at the default scene size (exact
+    # ellipse cull leaves ~660k intersections at 64x16 tiles — round-4 diag;
+    # ~560k row spans) with >=1.1x headroom and ZERO dropped entries — the
+    # per-entry glue (attr gather, grad reduction, kernel windows, sorts)
+    # all scales with these static sizes, and the per-INDEX-bound gradient
+    # scatter scales with the CAPACITY, so oversizing is a direct tax.
+    # Other scene sizes scale linearly (intersections are ~per-splat).
+    scale = n_splats / (1 << 18)
+    dup_capacity = dup_capacity or int(760_000 * scale)
+    span_capacity = span_capacity or int(786_432 * scale)
+
     def loss_fn(params):
         rgb, extras = render(
             params, state.alive, cam, height, width,
             active_sh_degree=jnp.int32(3), background=background,
             rasterizer=backend,
-            # Tuned from measured diagnostics at this scene size (ellipse
-            # cull leaves ~1.12M intersections, ~560k row spans) with
-            # >=1.1x headroom and ZERO dropped entries — the per-entry glue
-            # (attr gather, grad reduction, kernel windows, sorts) all
-            # scales with these static sizes. max_per_tile=2048 keeps every
-            # intersection (gsplat has no per-tile cap; tile_dropped stays
-            # 0 at this scene size).
-            dup_capacity=1_280_000,
-            span_capacity=786_432,
-            max_per_tile=2048,
+            # max_per_tile keeps every intersection (gsplat has no per-tile
+            # cap; tile_dropped stays 0 at this scene size).
+            dup_capacity=dup_capacity,
+            span_capacity=span_capacity,
+            max_per_tile=4096,
             grad_reduce=grad_reduce,
             tiles_per_block=tiles_per_block,
+            tile_x=tile_x,
         )
         return jnp.sum(rgb) + jnp.sum(extras["depth"])
 
@@ -115,8 +123,9 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
     from tinysplat_tpu.train import init_opt_state, make_train_step
 
     cfg = Config(rasterizer=backend, sh_degree=3,
-                 dup_capacity=1_280_000, span_capacity=786_432,
-                 max_per_tile=2048)
+                 dup_capacity=dup_capacity, span_capacity=span_capacity,
+                 max_per_tile=4096, tile_x=tile_x,
+                 grad_reduce=grad_reduce, tiles_per_block=tiles_per_block)
     tstep = make_train_step(cfg, height, width)
     opt = init_opt_state(cfg, state)
     gt = jnp.zeros((height, width, 3), jnp.float32)
@@ -145,6 +154,10 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
         "rays_per_s": round(rays_s, 0),
         "n_splats": n_splats,
         "resolution": [height, width],
+        "config": {"tile_x": tile_x, "grad_reduce": grad_reduce,
+                   "tiles_per_block": tiles_per_block,
+                   "dup_capacity": dup_capacity,
+                   "span_capacity": span_capacity},
     }))
 
 
@@ -156,9 +169,16 @@ if __name__ == "__main__":
     p.add_argument("--height", type=int, default=1066)
     p.add_argument("--width", type=int, default=1600)
     p.add_argument("--iters", type=int, default=30)
-    p.add_argument("--grad-reduce", default="sorted",
+    p.add_argument("--grad-reduce", default="scatter",
                    choices=["scatter", "sorted", "segment"])
     p.add_argument("--tpb", type=int, default=8, help="tiles per Pallas block")
+    p.add_argument("--tile-x", type=int, default=64,
+                   help="Pallas tile width px (height fixed 16)")
+    p.add_argument("--dup-capacity", type=int, default=0,
+                   help="0 = auto-scale the tuned default with --n")
+    p.add_argument("--span-capacity", type=int, default=0)
     args = p.parse_args()
     main(args.n, args.height, args.width, args.iters,
-         grad_reduce=args.grad_reduce, tiles_per_block=args.tpb)
+         grad_reduce=args.grad_reduce, tiles_per_block=args.tpb,
+         tile_x=args.tile_x, dup_capacity=args.dup_capacity,
+         span_capacity=args.span_capacity)

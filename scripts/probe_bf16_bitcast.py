@@ -125,6 +125,45 @@ def main():
     except Exception as e:
         print(f"D uint16 window  : FAILED to lower: {str(e).splitlines()[0][:120]}")
 
+    # F: dynamic-offset DMA window on a (N, 128) uint16 array — u16 arrays
+    # tile as T(16, 128); an arbitrary (non-16-aligned) MAJOR offset must
+    # still slice correctly for the half-width window plan to work.
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        N, CH = 256, 32
+
+        def kern_f(off_ref, src_ref, o_ref, buf, sem):
+            cp = pltpu.make_async_copy(
+                src_ref.at[pl.ds(off_ref[0], CH), :], buf, sem)
+            cp.start()
+            cp.wait()
+            o_ref[...] = buf[...]
+
+        src = jnp.arange(N * 128, dtype=jnp.uint32).astype(jnp.uint16)
+        src = src.reshape(N, 128)
+        fn = pl.pallas_call(
+            kern_f,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec((CH, 128), lambda g, s: (0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((CH, 128), jnp.uint16),
+                    pltpu.SemaphoreType.DMA,
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((CH, 128), jnp.uint16),
+            interpret=interpret)
+        ok = True
+        for off in (0, 3, 17, 200):
+            out = np.asarray(jax.jit(fn)(jnp.asarray([off], jnp.int32), src))
+            ok &= np.array_equal(out, np.asarray(src)[off:off + CH])
+        print(f"F u16 dyn-offset window: lowered, exact={ok}")
+    except Exception as e:
+        print(f"F u16 dyn-offset window: FAILED: {str(e).splitlines()[0][:120]}")
+
     # E: f32 -> u16 halves (the grad-output pack direction).
     try:
         fn = pl.pallas_call(

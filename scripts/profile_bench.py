@@ -22,9 +22,10 @@ def main():
     p.add_argument("--dup-capacity", type=int, default=1_280_000)
     p.add_argument("--span-capacity", type=int, default=786_432)
     p.add_argument("--chunk", type=int, default=128)
-    p.add_argument("--grad-reduce", default="sorted",
+    p.add_argument("--grad-reduce", default="scatter",
                    choices=["scatter", "sorted", "segment"])
     p.add_argument("--tpb", type=int, default=8)
+    p.add_argument("--tile-x", type=int, default=0)
     p.add_argument("--logdir", default="/tmp/jtrace")
     args = p.parse_args()
 
@@ -44,7 +45,7 @@ def main():
             rasterizer=backend, dup_capacity=args.dup_capacity,
             span_capacity=args.span_capacity, max_per_tile=2048,
             grad_reduce=args.grad_reduce, chunk=args.chunk,
-            tiles_per_block=args.tpb,
+            tiles_per_block=args.tpb, tile_x=args.tile_x,
         )
         return jnp.sum(rgb) + jnp.sum(extras["depth"])
 

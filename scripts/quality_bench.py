@@ -105,6 +105,9 @@ def main():
     p.add_argument("--gt-rasterizer", default="tiled",
                    help="independent backend for GT frames (trainee: auto)")
     p.add_argument("--target-psnr", type=float, default=27.0)
+    p.add_argument("--densify-strategy", default="default",
+                   choices=["default", "mcmc"])
+    p.add_argument("--antialiased", action="store_true")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -184,7 +187,9 @@ def main():
                           sh_degree=3, capacity=1 << 17)
 
     cfg = Config(rasterizer="auto", sh_degree=3, max_iter=args.iters,
-                 eval_interval=0, densify_end=args.iters * 10 // 15)
+                 eval_interval=0, densify_end=args.iters * 10 // 15,
+                 densify_strategy=args.densify_strategy,
+                 antialiased=args.antialiased)
     trainer = Trainer(cfg, Scene(train_cams), state)
     trainer.eval_cameras = eval_cams
     # GT frames are already in HBM from the render pass — skip re-upload.
@@ -234,6 +239,8 @@ def main():
         "eval_ssim": round(ev["eval_ssim"], 4),
         "gt_rasterizer": args.gt_rasterizer,
         "init": "uniform_random_aabb",
+        "densify_strategy": args.densify_strategy,
+        "antialiased": args.antialiased,
         "minutes_to_%gdB" % args.target_psnr: (
             round(time_to_target / 60, 1) if time_to_target else None),
         "eval_history": eval_history,

@@ -28,6 +28,10 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--configs", nargs="+",
                    default=["sorted:8:128", "segment:8:128", "scatter:8:128"])
+    p.add_argument("--dup-capacity", type=int, default=1_280_000)
+    p.add_argument("--span-capacity", type=int, default=786_432)
+    p.add_argument("--diag", action="store_true",
+                   help="print intersection/span diagnostics per config")
     args = p.parse_args()
 
     from tinysplat_tpu.data.synthetic import orbit_cameras
@@ -41,21 +45,33 @@ def main():
     backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
 
     for cfg in args.configs:
-        gr, tpb, chunk = cfg.split(":")
-        tpb, chunk = int(tpb), int(chunk)
+        parts = cfg.split(":")
+        gr, tpb, chunk = parts[0], int(parts[1]), int(parts[2])
+        tile_x = int(parts[3]) if len(parts) > 3 else 0
 
         def loss_fn(params):
             rgb, extras = render(
                 params, state.alive, cam, args.height, args.width,
                 active_sh_degree=jnp.int32(3), background=background,
-                rasterizer=backend, dup_capacity=1_280_000,
-                span_capacity=786_432, max_per_tile=2048,
+                rasterizer=backend, dup_capacity=args.dup_capacity,
+                span_capacity=args.span_capacity, max_per_tile=4096,
                 grad_reduce=gr, chunk=chunk, tiles_per_block=tpb,
+                tile_x=tile_x,
             )
+            if args.diag:
+                d = extras["binning"]
+                return jnp.sum(rgb) + jnp.sum(extras["depth"]), d
             return jnp.sum(rgb) + jnp.sum(extras["depth"])
 
-        step = jax.jit(jax.grad(loss_fn))
+        step = jax.jit(jax.grad(loss_fn, has_aux=args.diag))
         try:
+            if args.diag:
+                _, d = step(state.params)
+                print(json.dumps({
+                    "config": cfg,
+                    "diag": {k: int(v) for k, v in jax.device_get(d).items()},
+                }), flush=True)
+                continue
             g = step(state.params)
             jax.block_until_ready(g)
             for _ in range(args.warmup):

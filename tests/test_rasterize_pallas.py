@@ -100,3 +100,31 @@ def test_pallas_empty_scene():
         jnp.zeros(8), jnp.zeros(8, bool), 20, 24, bg, chunk=8)
     np.testing.assert_allclose(np.asarray(img), np.broadcast_to(np.asarray(bg), (20, 24, 4)), atol=1e-6)
     np.testing.assert_allclose(np.asarray(alpha), 0.0, atol=1e-6)
+
+
+def test_pallas_rect_tiles_match_dense():
+    """Wider-than-tall tiles (tile_x = 32, 64): identical images, alphas and
+    gradients — the binning x-clip, tile-local shifts, kernel pixel coords
+    and output assembly all reparameterize on the tile width."""
+    case = random_case(n=160, H=48, W=96, seed=5)
+    img_d, alpha_d = dense_reference(case)
+    for tile_x in (32, 64):
+        img_p, alpha_p = rasterize_pallas(*to_jnp(case), tile_x=tile_x)
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_d),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_d),
+                                   atol=5e-5)
+
+    xys0, depths, radii, conics0, colors, opac0, valid, H, W, bg = to_jnp(case)
+
+    def loss(xys, conics, opac, tile_x):
+        img, _ = rasterize_pallas(xys, depths, radii, conics, colors, opac,
+                                  valid, H, W, bg, tile_x=tile_x)
+        return jnp.sum(img * img)
+
+    g32 = jax.grad(loss, argnums=(0, 1, 2))(xys0, conics0, opac0, 32)
+    g16 = jax.grad(loss, argnums=(0, 1, 2))(xys0, conics0, opac0, 16)
+    for a, b in zip(g32, g16):
+        scale = max(1.0, float(np.abs(np.asarray(b)).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale)

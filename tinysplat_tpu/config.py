@@ -124,8 +124,12 @@ class Config:
     dup_capacity: int = 0
     max_per_tile: int = 0
     span_capacity: int = 0  # binning row-span budget (0 = auto)
-    grad_reduce: str = "sorted"  # pallas entry-grad reduction: scatter|sorted|segment
+    grad_reduce: str = "scatter"  # pallas entry-grad reduction: scatter|sorted|segment
     tiles_per_block: int = 8  # tiles per Pallas grid step (amortizes step floor)
+    # Pallas tile WIDTH in px (height fixed 16; 0 = tile_size). 64x16 tiles
+    # measured fastest on v5e (round-4 sweep: 41% fewer intersections than
+    # 16x16 at bench scale; 96/128 regress on per-window VPU work).
+    tile_x: int = 64
     # Multi-chip: round-robin 16px tile ROWS over the mesh 'tile' axis
     # instead of contiguous bands — flattens the per-band intersection
     # imbalance (measured 1.8x max/mean, SCALING_r03.json) to group

@@ -94,6 +94,7 @@ def _sorted_intersections(
     opacities: Optional[jax.Array] = None,
     row_stride: int = 1,
     row_offset=0,
+    tile_size_x: int = 0,
 ):
     """Shared core: (tile, depth)-sorted intersection entries + tile ranges.
 
@@ -147,12 +148,15 @@ def _sorted_intersections(
         span_capacity = max(dup_capacity // 2, 2 * n)
     d1 = span_capacity
     d2 = dup_capacity
+    tile_size_x = tile_size_x or tile_size  # width; tile_size is the height
 
     # Clamp rects against the GLOBAL row range; map to local rows below.
     bx0, bx1, by0, by1 = tile_ranges(
-        xys, radii, tiles_x, tiles_y * row_stride, tile_size
+        xys, radii, tiles_x, tiles_y * row_stride, tile_size,
+        tile_size_x=tile_size_x,
     )
-    ts_f = jnp.float32(tile_size)
+    ts_f = jnp.float32(tile_size)  # tile HEIGHT (rows, bands)
+    ts_x = jnp.float32(tile_size_x)  # tile WIDTH (x spans)
     strided = row_stride != 1
     off = jnp.asarray(row_offset, jnp.int32)
 
@@ -186,8 +190,8 @@ def _sorted_intersections(
         cx = xys[:, 0].astype(jnp.float32)
         cy = xys[:, 1].astype(jnp.float32)
         # Tighten the circle-AABB rect to the ellipse AABB (exact cull).
-        bx0 = jnp.maximum(bx0, jnp.floor((cx - dxg) / ts_f).astype(jnp.int32))
-        bx1 = jnp.minimum(bx1, jnp.floor((cx + dxg) / ts_f).astype(jnp.int32) + 1)
+        bx0 = jnp.maximum(bx0, jnp.floor((cx - dxg) / ts_x).astype(jnp.int32))
+        bx1 = jnp.minimum(bx1, jnp.floor((cx + dxg) / ts_x).astype(jnp.int32) + 1)
         by0 = jnp.maximum(by0, jnp.floor((cy - dymax) / ts_f).astype(jnp.int32))
         by1 = jnp.minimum(by1, jnp.floor((cy + dymax) / ts_f).astype(jnp.int32) + 1)
         alive = valid & (t_s > 0.0)
@@ -287,8 +291,8 @@ def _sorted_intersections(
         dx_hi = band_max(dy0, dy1)
         dx_lo = -band_max(-dy1, -dy0)  # min of x extent = -max of mirrored f
         x_last = sp_bx0 + sp[:, 1] - 1.0  # inclusive last tile of the rect
-        tx0 = jnp.clip(jnp.floor((s_cx + dx_lo) / ts_f), sp_bx0, x_last)
-        tx1 = jnp.clip(jnp.floor((s_cx + dx_hi) / ts_f), tx0, x_last)
+        tx0 = jnp.clip(jnp.floor((s_cx + dx_lo) / ts_x), sp_bx0, x_last)
+        tx1 = jnp.clip(jnp.floor((s_cx + dx_hi) / ts_x), tx0, x_last)
         span_len = (tx1 - tx0 + 1.0).astype(jnp.int32)
         span_base = (tile_row * tiles_x + tx0).astype(jnp.int32)
     else:
@@ -413,6 +417,7 @@ def bin_splats(
     opacities: Optional[jax.Array] = None,
     row_stride: int = 1,
     row_offset=0,
+    tile_size_x: int = 0,
 ) -> TileBins:
     """Build depth-sorted per-tile splat lists (dense index table).
 
@@ -440,7 +445,7 @@ def bin_splats(
      order, span_overflow) = _sorted_intersections(
         xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity,
         span_capacity=span_capacity, conics=conics, opacities=opacities,
-        row_stride=row_stride, row_offset=row_offset,
+        row_stride=row_stride, row_offset=row_offset, tile_size_x=tile_size_x,
     )
     # This (XLA fallback) path keeps original-splat-id semantics in its
     # tables; the depth-rank -> id conversion costs one 1-col gather.
@@ -487,6 +492,7 @@ def bin_splats_dense(
     opacities: Optional[jax.Array] = None,
     row_stride: int = 1,
     row_offset=0,
+    tile_size_x: int = 0,
 ) -> DenseBins:
     """Build the unpadded dense intersection layout (see DenseBins).
 
@@ -510,7 +516,7 @@ def bin_splats_dense(
      order, span_overflow) = _sorted_intersections(
         xys, depths, radii, valid, tiles_x, tiles_y, tile_size, dup_capacity,
         span_capacity=span_capacity, conics=conics, opacities=opacities,
-        row_stride=row_stride, row_offset=row_offset,
+        row_stride=row_stride, row_offset=row_offset, tile_size_x=tile_size_x,
     )
     counts = jnp.minimum(full_counts, max_per_tile)
     pad_entries = sorted_tile >= num_tiles

@@ -256,13 +256,20 @@ def tile_ranges(
     tiles_x: int,
     tiles_y: int,
     tile_size: int = 16,
+    tile_size_x: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Inclusive-exclusive tile index ranges covered by each splat's AABB."""
+    """Inclusive-exclusive tile index ranges covered by each splat's AABB.
+
+    ``tile_size`` is the tile HEIGHT; ``tile_size_x`` (default: same) the
+    width — the Pallas rasterizer uses wider-than-tall tiles to shrink the
+    intersection count every per-entry cost scales with.
+    """
+    tsx = tile_size_x or tile_size
     r = radii.astype(xys.dtype)
     x, y = xys[..., 0], xys[..., 1]
     # floor (not truncation) so fully off-screen splats clip to empty ranges.
-    bx0 = jnp.clip(jnp.floor((x - r) / tile_size).astype(jnp.int32), 0, tiles_x)
-    bx1 = jnp.clip(jnp.floor((x + r) / tile_size).astype(jnp.int32) + 1, 0, tiles_x)
+    bx0 = jnp.clip(jnp.floor((x - r) / tsx).astype(jnp.int32), 0, tiles_x)
+    bx1 = jnp.clip(jnp.floor((x + r) / tsx).astype(jnp.int32) + 1, 0, tiles_x)
     by0 = jnp.clip(jnp.floor((y - r) / tile_size).astype(jnp.int32), 0, tiles_y)
     by1 = jnp.clip(jnp.floor((y + r) / tile_size).astype(jnp.int32) + 1, 0, tiles_y)
     # Culled splats (radius 0) cover no tiles.

@@ -254,6 +254,38 @@ _gather_scatter.defvjp(_gather_fwd, _scatter_bwd)
 _gather_sorted.defvjp(_gather_fwd, _sorted_bwd)
 _gather_segment.defvjp(_gather_fwd, _segment_bwd)
 
+
+@jax.custom_vjp
+def _gather_perm(table, order):
+    """Row gather by a PERMUTATION (bijective ids, e.g. bins.order).
+
+    XLA transposes a gather as a scatter-add (per-index emitter, measured
+    3.3 ms for the (N, 10) order-permute cotangent at bench scale) — but a
+    permutation's transpose is just the INVERSE permutation, so the
+    backward is another cheap i16 row gather at inv(order), with inv
+    obtained by one 2-op integer sort (sorts are ~0.3 ms at N; round-1
+    finding "sorts are not the bottleneck")."""
+    return table[order]
+
+
+def _perm_fwd(table, order):
+    return _row_gather_i16(table, order), order
+
+
+def _perm_bwd(order, g):
+    # Sorting (order, iota) by order yields iota keys whose payload is the
+    # inverse permutation: payload[k] = position of k in order.
+    _, inv_order = jax.lax.sort(
+        (order, jnp.arange(order.shape[0], dtype=jnp.int32)), num_keys=1,
+        is_stable=True,
+    )
+    return _row_gather_i16(g, inv_order), np.zeros(
+        order.shape, jax.dtypes.float0
+    )
+
+
+_gather_perm.defvjp(_perm_fwd, _perm_bwd)
+
 _GATHERS = {
     "scatter": _gather_scatter,
     "sorted": _gather_sorted,
@@ -264,6 +296,61 @@ _GATHERS = {
 # -----------------------------------------------------------------------------
 # In-kernel math helpers (entries on sublanes, pixels on lanes)
 # -----------------------------------------------------------------------------
+
+# The package default is jax_default_matmul_precision = "highest" (for
+# torch-parity losses/optimizer math), which the in-kernel contractions
+# inherit — but Mosaic only lowers DEFAULT (one bf16 MXU pass) and HIGHEST
+# (the full f32 decomposition; Precision.HIGH is REJECTED at lowering), so
+# the middle ground the kernels were designed for (bf16x3, f32-equivalent
+# at tile-local magnitudes) is expressed MANUALLY: split each f32 operand
+# into bf16 hi + lo parts and sum 2-3 DEFAULT-precision MXU passes with f32
+# accumulation. `exact_lhs` marks contractions whose LHS is exactly bf16-
+# representable (the 0/1 triangular scan matrices, the local pixel basis),
+# where splitting only the data operand reaches the same accuracy with one
+# pass fewer. Env-overridable for chip A/Bs (TINYSPLAT_MM_PRECISION in
+# {default, bf16x3, highest}).
+_MM_MODE = os.environ.get("TINYSPLAT_MM_PRECISION", "bf16x3")
+
+
+def _split_bf16(x):
+    """x == hi + lo exactly to ~16 mantissa bits (both bf16)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(a, b, dims, exact_lhs=False, exact_rhs=False):
+    """In-kernel dot_general at the kernel-design precision (see above)."""
+    if _MM_MODE in ("default", "highest"):
+        prec = (jax.lax.Precision.DEFAULT if _MM_MODE == "default"
+                else jax.lax.Precision.HIGHEST)
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    def d(u, v):
+        return jax.lax.dot_general(
+            u, v, (dims, ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    if exact_lhs or exact_rhs:
+        # Full-size triangular scans: HIGHEST measured FASTER than both one
+        # bf16 pass and the manual split on v5e ((128,128)x(128,256): 38 vs
+        # 48 vs 58 ns/matmul, probe_vpu_costs round 4) — these contractions
+        # are pipeline-bound, not pass-bound, and HIGHEST is also exact.
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    # Tiny-K/N data contractions (K or N in {4, 6}: compositing, Q, moments,
+    # color grads): the bf16 hi/lo 3-pass decomposition wins — DEFAULT-
+    # precision passes with f32 accumulation, ~21-bit accuracy (measured
+    # end-to-end grad deltas vs HIGHEST: <=1.7e-3 relative, probe_mm_precision).
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
 def _cumsum_entries(x: jax.Array) -> jax.Array:
@@ -276,9 +363,7 @@ def _cumsum_entries(x: jax.Array) -> jax.Array:
     i = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
     tri = (j <= i).astype(jnp.float32)
-    return jax.lax.dot_general(
-        tri, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    return _dot(tri, x, ((1,), (0,)), exact_lhs=True)
 
 
 def _cumprod_entries(x: jax.Array) -> jax.Array:
@@ -300,8 +385,11 @@ def _shift_down(x: jax.Array, first: jax.Array) -> jax.Array:
     )
 
 
-def _pixel_coords_local(dtype=jnp.float32):
-    """(1, P) tile-LOCAL x and y pixel coordinates (0..TILE-1).
+def _pixel_coords_local(tile_x=TILE, dtype=jnp.float32):
+    """(1, p) tile-LOCAL x and y pixel coordinates (x: 0..tile_x-1,
+    y: 0..TILE-1). Tiles are ``tile_x`` wide and TILE=16 tall; wider tiles
+    shrink the intersection count every per-entry cost scales with, at the
+    price of more VPU lanes per entry (see rasterize_pallas ``tile_x``).
 
     The kernels work in tile-local coordinates: entry centers are shifted by
     their tile origin ONCE, at the XLA level (per-entry subtract fused into
@@ -311,9 +399,9 @@ def _pixel_coords_local(dtype=jnp.float32):
     catastrophic cancellation — with global pixel coordinates (up to ~4k)
     the M2 - 2 g M1 + g^2 M0 recombination would lose ~4 digits.
     """
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    lx = (pidx % TILE).astype(dtype)
-    ly = (pidx // TILE).astype(dtype)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE * tile_x), 1)
+    lx = (pidx % tile_x).astype(dtype)
+    ly = (pidx // tile_x).astype(dtype)
     return lx, ly
 
 
@@ -429,17 +517,18 @@ def _drain_pending(src_ref, buf, sem, pstate, chunk):
 # and are stored once per tile to the (TPB, OUT_ROWS, P) output block.
 
 
-def _fwd_kernel(chunk, num_tiles, tpb, nt_pad,
+def _fwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
                 starts, counts,
                 attrs_ref, out_ref, buf, sem, carry, pstate):
     b = pl.program_id(0)
+    p = TILE * tile_x
 
     @pl.when(b == 0)
     def _():
         pstate[0] = -1
         pstate[1] = 0
 
-    px, py = _pixel_coords_local()
+    px, py = _pixel_coords_local(tile_x)
 
     def tile_body(tt, _):
         t = b * tpb + tt
@@ -451,8 +540,8 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad,
         # crosses T_EPS, then raw keeps falling so the pixel can never
         # resurrect), 2 = n_contrib, 3 = last contributing entry rank + 1,
         # 4:8 = composited RGB+D accumulator.
-        carry[0:2, :] = jnp.ones((2, P), jnp.float32)
-        carry[2:8, :] = jnp.zeros((6, P), jnp.float32)
+        carry[0:2, :] = jnp.ones((2, p), jnp.float32)
+        carry[2:8, :] = jnp.zeros((6, p), jnp.float32)
 
         nchunks = (cnt + chunk - 1) // chunk
 
@@ -481,10 +570,7 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad,
             excl = _shift_down(incl, t_raw_in)
             wmat = jnp.where(live, alpha * excl, 0.0)
             colors = attrs[:, 6:10]  # (CHUNK, 4)
-            contrib = jax.lax.dot_general(
-                colors, wmat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (4, P)
+            contrib = _dot(colors, wmat, ((0,), (0,)))  # (4, P)
             carry[4:8, :] += contrib
             t_fro_in = carry[0:1, :]
             t_fro = jnp.min(
@@ -526,11 +612,11 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad,
             # Mark every entry a contributor so the backward bisect still
             # walks full live ranges (zeros would starve it via nlive == 0).
             carry[3:4, :] = jnp.broadcast_to(
-                cnt.astype(jnp.float32), (1, P))
+                cnt.astype(jnp.float32), (1, p))
 
         out_ref[tt] = jnp.concatenate(
             [carry[4:8, :], carry[0:1, :], carry[2:4, :],
-             jnp.zeros((OUT_ROWS - 7, P), jnp.float32)], axis=0
+             jnp.zeros((OUT_ROWS - 7, p), jnp.float32)], axis=0
         )
         return 0
 
@@ -546,7 +632,7 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad,
 # -----------------------------------------------------------------------------
 
 
-def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
+def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
                 starts, counts, nlive,
                 attrs_ref, fg_ref, dattrs_ref,
                 ibuf, isem, obuf, osem, carry, pstate, ostate):
@@ -568,7 +654,7 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
         for i in range(7):
             ostate[i] = 0
 
-    px, py = _pixel_coords_local()
+    px, py = _pixel_coords_local(tile_x)
 
     def tile_body(tt, _):
         t = b * tpb + tt
@@ -674,6 +760,18 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad,
                 ostate[0] = 0
 
 
+# TIMING-ONLY compute ladder for _bwd_window (1=alphas, 2=+transmittance,
+# 3=+suffix sums, 4=+dsigma; 0=full). Output is garbage below full.
+_BWD_LEVEL = int(os.environ.get("TINYSPLAT_BWD_LEVEL", "0"))
+
+
+def _ladder_out(chunk, col):
+    """Pad a (CHUNK, 1) probe column into the dattrs shape (timing ladder)."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(col, (chunk, GRAD_ROWS)),
+         jnp.zeros((chunk, TROWS - GRAD_ROWS), jnp.float32)], axis=1)
+
+
 def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
     alpha, gx, gy, grad_ok = _alphas(attrs, px, py, ent < cnt)
@@ -683,6 +781,8 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     live = ent.astype(jnp.float32) < n_contrib  # (CHUNK, P)
     alpha = jnp.where(live, alpha, 0.0)
     om = 1.0 - alpha
+    if _BWD_LEVEL == 1:
+        return _ladder_out(chunk, jnp.sum(om, axis=1, keepdims=True))
 
     # Reconstruct per-entry exclusive transmittance from the suffix carry.
     t_end = carry[0:1, :]
@@ -693,23 +793,27 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     # so clamping only affects masked sublanes — but keeps t_before finite
     # (inf * 0 would poison the dcol matmul with NaNs).
     t_start = t_end / jnp.maximum(total, 1e-30)
-    pm_excl = _shift_down(pm, jnp.ones((1, P), jnp.float32))
+    pm_excl = _shift_down(pm, jnp.ones((1, px.shape[1]), jnp.float32))
     t_before = t_start * pm_excl  # (CHUNK, P) exclusive prefix
     wmat = alpha * t_before
+    if _BWD_LEVEL == 2:
+        return _ladder_out(chunk, jnp.sum(wmat, axis=1, keepdims=True))
 
     g = fg_ref[tt, 2:6, :]  # (4, P) composite cotangent
     colors = attrs[:, 6:10]  # (CHUNK, 4)
     # Q[e, p] = sum_c colors[e, c] * g[c, p]
-    q = jax.lax.dot_general(
-        colors, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (CHUNK, P)
+    q = _dot(colors, g, ((1,), (0,)))  # (CHUNK, P)
     qw = q * wmat
     csum = _cumsum_entries(qw)
     total_qw = csum[chunk - 1 : chunk, :]
     s_after = carry[1:2, :] + (total_qw - csum)  # (CHUNK, P)
+    if _BWD_LEVEL == 3:
+        return _ladder_out(chunk, jnp.sum(s_after, axis=1, keepdims=True))
 
     dalpha = q * t_before - s_after / om
     dsigma = jnp.where(grad_ok & live, -alpha * dalpha, 0.0)
+    if _BWD_LEVEL == 4:
+        return _ladder_out(chunk, jnp.sum(dsigma, axis=1, keepdims=True))
 
     ca = attrs[:, 2:3]
     cb = attrs[:, 3:4]
@@ -723,14 +827,11 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     # precision on TPU is the 3-pass bf16 decomposition — f32-equivalent
     # accuracy); tile-local coords keep the recombination cancellation-free
     # (see _pixel_coords_local).
-    ones = jnp.ones((1, P), jnp.float32)
+    ones = jnp.ones((1, px.shape[1]), jnp.float32)
     basis = jnp.concatenate(
         [ones, px, py, px * px, px * py, py * py], axis=0
     )  # (6, P)
-    mom = jax.lax.dot_general(
-        dsigma, basis, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, 6)
+    mom = _dot(dsigma, basis, ((1,), (1,)))  # (CHUNK, 6)
     m0 = mom[:, 0:1]
     m1x = mom[:, 1:2]
     m1y = mom[:, 2:3]
@@ -750,9 +851,7 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     dcb = m2xy - gx * m1y - gy * m1x + gx * gy * m0
     dcc = 0.5 * (m2yy - 2.0 * gy * m1y + gy * gy * m0)
     # dL/dcolors[e, c] = sum_p g[c, p] * w[e, p]
-    dcol = jax.lax.dot_general(
-        wmat, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (CHUNK, 4)
+    dcol = _dot(wmat, g, ((1,), (1,)))  # (CHUNK, 4)
 
     # Carries for the previous (front-ward) window.
     carry[0:1, :] = t_start
@@ -769,45 +868,49 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
 # -----------------------------------------------------------------------------
 
 
-def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int):
+def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int,
+                     tile_x: int = TILE):
     """Build the custom-vjp'd kernel pair for static geometry params.
 
     ``tpb`` tiles share one grid step (see the kernel comments); the tile
     range arrays and the output/fg blocks are padded to ``nt_pad`` =
     ceil(num_tiles / tpb) * tpb — pad tiles have count == nlive == 0, so
-    the kernels skip them at one loop-iteration's cost.
+    the kernels skip them at one loop-iteration's cost. ``tile_x`` is the
+    tile WIDTH in pixels (height is fixed at TILE=16): the per-tile pixel
+    count is 16 * tile_x.
     """
     nblocks = (num_tiles + tpb - 1) // tpb
     nt_pad = nblocks * tpb
+    p = TILE * tile_x
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk, num_tiles, tpb, nt_pad),
+        functools.partial(_fwd_kernel, chunk, num_tiles, tpb, nt_pad, tile_x),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nblocks,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (tpb, OUT_ROWS, P), lambda b, s, c: (b, 0, 0)
+                (tpb, OUT_ROWS, p), lambda b, s, c: (b, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, chunk, TROWS), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((8, P), jnp.float32),
+                pltpu.VMEM((8, p), jnp.float32),
                 pltpu.SMEM((2,), jnp.int32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nt_pad, OUT_ROWS, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt_pad, OUT_ROWS, p), jnp.float32),
         interpret=_interpret(),
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk, num_tiles, tpb, nt_pad),
+        functools.partial(_bwd_kernel, chunk, num_tiles, tpb, nt_pad, tile_x),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (tpb, FG_ROWS, P), lambda b, s, c, nl: (b, 0, 0)
+                    (tpb, FG_ROWS, p), lambda b, s, c, nl: (b, 0, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -816,7 +919,7 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int):
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((2, chunk, TROWS), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((8, P), jnp.float32),
+                pltpu.VMEM((8, p), jnp.float32),
                 pltpu.SMEM((2,), jnp.int32),
                 pltpu.SMEM((8,), jnp.int32),
             ],
@@ -828,11 +931,21 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int):
     def _pad_t(x, fill=0):
         return jnp.pad(x, (0, nt_pad - num_tiles), constant_values=fill)
 
-    @jax.custom_vjp
-    def composite_tiles(attrs_pad, tile_starts, counts):
-        return fwd_call(_pad_t(tile_starts), _pad_t(counts), attrs_pad)
+    def _pad_lanes(attr_rows):
+        # The 128-lane pad lives INSIDE the vjp boundary so the gradient
+        # path never materializes a (d2p, TROWS) cotangent on the XLA side:
+        # the backward kernel writes one, but the slice to the ROWS data
+        # columns and the written-mask both happen at ROWS width (measured
+        # round 4: mask + slice at TROWS width cost ~4 ms/step more).
+        return jnp.pad(attr_rows, ((0, 0), (0, TROWS - ROWS)))
 
-    def composite_fwd(attrs_pad, tile_starts, counts):
+    @jax.custom_vjp
+    def composite_tiles(attr_rows, tile_starts, counts):
+        return fwd_call(_pad_t(tile_starts), _pad_t(counts),
+                        _pad_lanes(attr_rows))
+
+    def composite_fwd(attr_rows, tile_starts, counts):
+        attrs_pad = _pad_lanes(attr_rows)
         out = fwd_call(_pad_t(tile_starts), _pad_t(counts), attrs_pad)
         return out, (attrs_pad, tile_starts, counts, out)
 
@@ -843,7 +956,7 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int):
         # primal output to num_tiles.
         fg = jnp.concatenate(
             [fwd_out[:, 4:6], gout[:, 0:5],
-             jnp.zeros((fwd_out.shape[0], 1, P), jnp.float32)], axis=1)
+             jnp.zeros((fwd_out.shape[0], 1, p), jnp.float32)], axis=1)
         # Per-tile LIVE window counts from the forward's last-contributor
         # ranks: windows past every pixel's last contributor carry zero
         # gradient and are never visited (saturated tails cost nothing).
@@ -861,24 +974,26 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int):
         # by construction (masked in compute), so "written" is exactly
         # right — and where a later tile's real window overlapped an earlier
         # tile's overhang, the serialized store order made the real values
-        # land last.
+        # land last. Slice to the ROWS data columns FIRST so the mask (and
+        # everything downstream) runs at 16-col width, not the TROWS DMA
+        # width (see _pad_lanes).
         ends = tile_starts + nlive[:num_tiles] * chunk
         mark = jnp.zeros((d2p,), jnp.int32).at[tile_starts].max(
             ends, mode="drop"
         )
         fill_end = jax.lax.cummax(mark)
         written = jnp.arange(d2p, dtype=jnp.int32) < fill_end
-        dattrs = jnp.where(written[:, None], dattrs, 0.0)
+        dattr_rows = jnp.where(written[:, None], dattrs[:, :ROWS], 0.0)
         f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-        return dattrs, f0(tile_starts), f0(counts)
+        return dattr_rows, f0(tile_starts), f0(counts)
 
     composite_tiles.defvjp(composite_fwd, composite_bwd)
     return composite_tiles
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_pallas_fns(num_tiles, d2p, chunk, tpb):
-    return _make_pallas_fns(num_tiles, d2p, chunk, tpb)
+def _cached_pallas_fns(num_tiles, d2p, chunk, tpb, tile_x):
+    return _make_pallas_fns(num_tiles, d2p, chunk, tpb, tile_x)
 
 
 def rasterize_pallas(
@@ -896,12 +1011,13 @@ def rasterize_pallas(
     dup_capacity: int = 0,
     max_per_tile: int = 0,
     span_capacity: int = 0,
-    grad_reduce: str = "sorted",
+    grad_reduce: str = "scatter",
     tiles_per_block: int = 8,
     row_stride: int = 1,
     row_offset=0,
     return_diagnostics: bool = False,
     tile_size: int = TILE,
+    tile_x: int = 0,
 ):
     """Rasterize to (H, W, C<=4) image + (H, W) alpha; dense-oracle semantics.
 
@@ -912,6 +1028,11 @@ def rasterize_pallas(
     selects the entry-gradient -> splat-gradient reduction (module
     docstring); all three are numerically validated against the oracle.
     ``tiles_per_block`` amortizes the per-grid-step floor (kernel comments).
+    ``tile_x`` sets the tile WIDTH in pixels (default: tile_size; the height
+    is fixed at 16): wider tiles shrink the intersection count that every
+    per-entry cost (attribute gather, gradient scatter, sorts, binning
+    expansion, kernel windows) scales with, trading more VPU lanes per
+    entry. Must be a positive multiple of 16.
     """
     if tile_size != TILE:
         # Every caller-side contract (band membership, Hl % tile_size,
@@ -924,9 +1045,11 @@ def rasterize_pallas(
             f"rasterizer='tiled' for other tile sizes")
     n = xys.shape[0]
     c = colors.shape[-1]
+    tile_x = tile_x or tile_size
     assert c <= 4, "pallas kernel composites up to 4 channels (RGB+D)"
     assert chunk % 8 == 0, "chunk must be a multiple of 8 sublanes"
-    tiles_x = (img_width + TILE - 1) // TILE
+    assert tile_x % 16 == 0 and tile_x > 0, "tile_x must be a multiple of 16"
+    tiles_x = (img_width + tile_x - 1) // tile_x
     tiles_y = (img_height + TILE - 1) // TILE
     num_tiles = tiles_x * tiles_y
     tpb = max(1, min(tiles_per_block, num_tiles))
@@ -935,7 +1058,7 @@ def rasterize_pallas(
         xys, depths, radii, valid, tiles_x, tiles_y, TILE,
         chunk=chunk, dup_capacity=dup_capacity, max_per_tile=max_per_tile,
         span_capacity=span_capacity, conics=conics, opacities=opacities,
-        row_stride=row_stride, row_offset=row_offset,
+        row_stride=row_stride, row_offset=row_offset, tile_size_x=tile_x,
     )
     ids = bins.entry_rank  # (d2p,) DEPTH RANKS, -1 pad
     d2p = ids.shape[0]
@@ -951,7 +1074,7 @@ def rasterize_pallas(
     ecol = colors
     if c < 4:
         ecol = jnp.pad(ecol, ((0, 0), (0, 4 - c)))
-    per_splat = gather(
+    per_splat = _gather_perm(
         jnp.concatenate(
             [
                 xys,
@@ -973,7 +1096,7 @@ def rasterize_pallas(
     # 128-lane tile — the only row width Mosaic's HBM tiling can DMA-slice
     # at dynamic major offsets (module docstring). The pad is pure HBM
     # bandwidth (~1 ms/step at bench scale), NOT gather work.
-    ox = ((bins.entry_tile % tiles_x) * TILE).astype(jnp.float32)
+    ox = ((bins.entry_tile % tiles_x) * tile_x).astype(jnp.float32)
     row_l = bins.entry_tile // tiles_x  # local tile row
     if row_stride != 1:  # strided banding: local row -> global pixel row
         row_l = row_l * row_stride + jnp.asarray(row_offset, jnp.int32)
@@ -982,10 +1105,10 @@ def rasterize_pallas(
     attr_rows = jnp.concatenate(
         [attr_rows[:, :2] - shift, attr_rows[:, 2:]], axis=1
     )
-    attrs_pad = jnp.pad(attr_rows, ((0, 0), (0, TROWS - ROWS)))
 
-    composite_tiles = _cached_pallas_fns(num_tiles, d2p, chunk, tpb)
-    out = composite_tiles(attrs_pad, bins.tile_starts, bins.counts)
+    composite_tiles = _cached_pallas_fns(num_tiles, d2p, chunk, tpb,
+                                         tile_x)
+    out = composite_tiles(attr_rows, bins.tile_starts, bins.counts)
     out = out[:num_tiles]  # drop block-pad tiles (their cotangent is zero)
 
     t_final = out[:, 4, :]  # (T, P)
@@ -994,13 +1117,14 @@ def rasterize_pallas(
         bg4 = jnp.pad(background, (0, 4 - c))
     img4 = out[:, 0:4, :] + t_final[:, None, :] * bg4[None, :, None]
 
-    # (T, 4, P) -> (H, W, 4), crop to the true image size.
-    img = img4.reshape(tiles_y, tiles_x, 4, TILE, TILE)
+    # (T, 4, p) -> (H, W, 4), crop to the true image size.
+    img = img4.reshape(tiles_y, tiles_x, 4, TILE, tile_x)
     img = jnp.transpose(img, (0, 3, 1, 4, 2)).reshape(
-        tiles_y * TILE, tiles_x * TILE, 4
+        tiles_y * TILE, tiles_x * tile_x, 4
     )
-    alpha = (1.0 - t_final).reshape(tiles_y, tiles_x, TILE, TILE)
-    alpha = jnp.transpose(alpha, (0, 2, 1, 3)).reshape(tiles_y * TILE, tiles_x * TILE)
+    alpha = (1.0 - t_final).reshape(tiles_y, tiles_x, TILE, tile_x)
+    alpha = jnp.transpose(alpha, (0, 2, 1, 3)).reshape(
+        tiles_y * TILE, tiles_x * tile_x)
     img_out = img[:img_height, :img_width, :c]
     alpha_out = alpha[:img_height, :img_width]
     if return_diagnostics:

@@ -122,6 +122,7 @@ def _band_rasterize(xys, depths, radii, conics, colors, opac, valid, Hl, W, bg, 
 
         kw["grad_reduce"] = cfg.grad_reduce
         kw["tiles_per_block"] = cfg.tiles_per_block
+        kw["tile_x"] = cfg.tile_x
         kw["tile_size"] = cfg.tile_size  # kernel grid is fixed 16px: loud
     else:
         from ..ops.rasterize import rasterize_tiled as fn

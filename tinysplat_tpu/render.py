@@ -108,9 +108,10 @@ def render(
     dup_capacity: int = 0,
     max_per_tile: int = 0,
     span_capacity: int = 0,
-    grad_reduce: str = "sorted",
+    grad_reduce: str = "scatter",
     chunk: int = 128,  # pallas-only (DMA window); tiled has its own scan chunk
     tiles_per_block: int = 8,
+    tile_x: int = 0,  # pallas-only tile WIDTH (default tile_size; height 16)
     antialiased: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Render an (H, W, 3) image (+ extras) from Gaussian parameters.
@@ -183,7 +184,7 @@ def render(
             img_height, img_width, bg4,
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
             span_capacity=span_capacity, grad_reduce=grad_reduce,
-            chunk=chunk, tiles_per_block=tiles_per_block,
+            chunk=chunk, tiles_per_block=tiles_per_block, tile_x=tile_x,
             return_diagnostics=True, tile_size=tile_size,
         )
     else:

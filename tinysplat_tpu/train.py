@@ -180,6 +180,7 @@ def compute_losses(
         span_capacity=cfg.span_capacity,
         grad_reduce=cfg.grad_reduce,
         tiles_per_block=cfg.tiles_per_block,
+        tile_x=cfg.tile_x,
         antialiased=cfg.antialiased,
     )
     if app_params is not None:

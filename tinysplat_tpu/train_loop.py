@@ -885,6 +885,7 @@ class Trainer:
                     max_per_tile=cfg.max_per_tile,
                     span_capacity=cfg.span_capacity,
                     grad_reduce=cfg.grad_reduce,
+                    tile_x=cfg.tile_x,
                     antialiased=cfg.antialiased,
                 )
 
