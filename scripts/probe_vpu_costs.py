@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-S, L = 128, 256
+S = 128
+L = int(__import__("os").environ.get("PROBE_LANES", "256"))
 ITERS = 512
 CHAINS = 4
 

@@ -105,3 +105,26 @@ def test_dense_bins_layout():
     # Pads everywhere else past the used range.
     used = int(db.num_entries)
     assert (ranks[used:] == -1).all()
+
+
+def test_span_start_fallback_matches_packed(monkeypatch):
+    """The >=2^24 span-capacity fallback (exact int32 span-start gather
+    instead of the packed-f32 column) produces identical bins. The real
+    trigger needs 16M spans; lowering the module limit exercises the same
+    code path at test scale (round-3 verdict weak item 6)."""
+    import tinysplat_tpu.ops.binning as binning
+
+    case = random_case(n=120, seed=3)
+    xys, depths, radii, valid, tx, ty, ts = case
+    args = (jnp.asarray(xys), jnp.asarray(depths), jnp.asarray(radii),
+            jnp.asarray(valid), tx, ty, ts)
+
+    base = bin_splats(*args)
+    monkeypatch.setattr(binning, "SPAN_START_PACK_LIMIT", 1)
+    fall = bin_splats(*args)
+
+    np.testing.assert_array_equal(np.asarray(base.idx_lists),
+                                  np.asarray(fall.idx_lists))
+    np.testing.assert_array_equal(np.asarray(base.counts),
+                                  np.asarray(fall.counts))
+    assert int(fall.dup_overflow) == 0 and int(fall.tile_overflow) == 0

@@ -41,6 +41,12 @@ import jax.numpy as jnp
 from .projection import tile_ranges
 from .rasterize_dense import ALPHA_EPS
 
+# f32 integers are exact below 2^24: above this span capacity the span-start
+# column cannot ride the packed f32 gather and an exact int32 side gather
+# runs instead (see _sorted_intersections level 1). Module-level so tests
+# can lower it to exercise the fallback without 16M-span arrays.
+SPAN_START_PACK_LIMIT = 1 << 24
+
 
 class DenseBins(NamedTuple):
     """UNPADDED (tile, depth)-sorted intersection layout (round-3 design).
@@ -241,7 +247,9 @@ def _sorted_intersections(
     # a second d1-sized scatter + cummax fill (scatter cost is per-index).
     # f32 carries span indices exactly only below 2^24; at larger span
     # capacities (~4M+ splats) fall back to a separate exact int32 gather.
-    start_in_packed = d1 < (1 << 24)
+    # The limit is a module constant so tests can lower it and exercise the
+    # fallback at small scale (tests/test_binning.py).
+    start_in_packed = d1 < SPAN_START_PACK_LIMIT
     if start_in_packed:
         packed = jnp.concatenate(
             [packed, starts1.astype(jnp.float32)[:, None]], axis=1

@@ -136,13 +136,6 @@ def _rank_sort(ids, n):
     return jax.lax.sort((ids, iota), num_keys=1, is_stable=True)
 
 
-# Experiment switch: gather FULL-width gradient rows (32 s16 cols) instead of
-# the 20 live ones. XLA:TPU assigns narrow (d2p, 20) s16 arrays a transposed
-# {0,1} layout whose row gather touches 20 non-contiguous lines per index
-# (measured 10.9 ms vs 2.1 ms for the row-major 32-col attr gather).
-_GATHER_WIDE = os.environ.get("TINYSPLAT_GATHER_WIDE", "0") == "1"
-
-
 def _sorted_bwd(res, g):
     """Rank-sorted scatter-add: one 2-op sort + an int16 permutation gather
     turn the random-index scatter into a sorted-indices one (measured ~1.6x
@@ -150,10 +143,7 @@ def _sorted_bwd(res, g):
     ids, n = res
     used = min(GRAD_ROWS, g.shape[1])
     sorted_ids, perm = _rank_sort(ids, n)
-    if _GATHER_WIDE:
-        gs = _row_gather_i16(g, perm)[:, :used]
-    else:
-        gs = _row_gather_i16(g[:, :used], perm)
+    gs = _row_gather_i16(g[:, :used], perm)
     dtable = jnp.zeros((n, used), g.dtype).at[sorted_ids].add(
         gs, indices_are_sorted=True
     )
@@ -204,10 +194,7 @@ def _segment_bwd(res, g):
     used = min(GRAD_ROWS, g.shape[1])
     d = ids.shape[0]
     sorted_ids, perm = _rank_sort(ids, n)
-    if _GATHER_WIDE:
-        gs = _row_gather_i16(g, perm)[:, :used]  # (D, used) rank-major
-    else:
-        gs = _row_gather_i16(g[:, :used], perm)
+    gs = _row_gather_i16(g[:, :used], perm)  # (D, used) rank-major
     s = _cumsum_rows(gs)
     nxt = jnp.concatenate(
         [sorted_ids[1:], jnp.full((1,), n + 1, sorted_ids.dtype)]
@@ -439,9 +426,10 @@ def _alphas(attrs, px, py, ent_ok):
 # Debug/bisect switches (perf-neutral when left at defaults).
 _PREFETCH = os.environ.get("TINYSPLAT_PALLAS_PREFETCH", "1") == "1"
 _EARLY_EXIT = os.environ.get("TINYSPLAT_PALLAS_EARLY_EXIT", "1") == "1"
-# TIMING-ONLY bisects for the backward store pipeline (results are WRONG at
-# tile-boundary overlaps / entirely): never enable outside profiling runs.
-_UNSAFE_STORES = os.environ.get("TINYSPLAT_PALLAS_UNSAFE_STORES", "0") == "1"
+# TIMING-ONLY bisect for the backward store pipeline (results are garbage):
+# never enable outside profiling runs. (An UNSAFE_STORES 2-in-flight variant
+# was also measured round 4: stores are FREE — NO_STORES changed nothing —
+# so the ordered one-in-flight pipeline stays.)
 _NO_STORES = os.environ.get("TINYSPLAT_PALLAS_NO_STORES", "0") == "1"
 # TIMING-ONLY compute bisect: 1 = replace the per-window compositing /
 # gradient math with a near-empty touch of the window (keeps the DMA
@@ -651,7 +639,7 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
     def _():
         pstate[0] = -1
         pstate[1] = 0
-        for i in range(7):
+        for i in range(3):
             ostate[i] = 0
 
     px, py = _pixel_coords_local(tile_x)
@@ -696,27 +684,16 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
                 carry[1:2, :] = carry[1:2, :] + 0.0 * jnp.sum(dattrs)
                 return 0
             oslot = 1 - ostate[1]
-            if _UNSAFE_STORES:
-                # Timing bisect: wait only for SLOT reuse (2-deep pipeline,
-                # no cross-slot ordering) — overlapping boundary windows race.
-                @pl.when(ostate[3 + oslot] == 1)
-                def _():
-                    pltpu.make_async_copy(
-                        obuf.at[oslot],
-                        dattrs_ref.at[pl.ds(ostate[5 + oslot], chunk), :],
-                        osem.at[oslot],
-                    ).wait()
-            else:
-                # Wait the previous store, then issue this one: besides
-                # bounding buffers, this ORDERS the stores (module docstring
-                # on overlapping boundary windows).
-                @pl.when(ostate[0] == 1)
-                def _():
-                    pltpu.make_async_copy(
-                        obuf.at[ostate[1]],
-                        dattrs_ref.at[pl.ds(ostate[2], chunk), :],
-                        osem.at[ostate[1]],
-                    ).wait()
+            # Wait the previous store, then issue this one: besides
+            # bounding buffers, this ORDERS the stores (module docstring
+            # on overlapping boundary windows).
+            @pl.when(ostate[0] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[ostate[1]],
+                    dattrs_ref.at[pl.ds(ostate[2], chunk), :],
+                    osem.at[ostate[1]],
+                ).wait()
 
             obuf[oslot] = dattrs
             pltpu.make_async_copy(
@@ -727,8 +704,6 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
             ostate[0] = 1
             ostate[1] = oslot
             ostate[2] = off
-            ostate[3 + oslot] = 1
-            ostate[5 + oslot] = off
             return 0
 
         jax.lax.fori_loop(0, nl, body, 0)
@@ -739,17 +714,7 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
         _drain_pending(attrs_ref, ibuf, isem, pstate, chunk)
-        if _UNSAFE_STORES:
-            for s in (0, 1):
-                @pl.when(ostate[3 + s] == 1)
-                def _(s=s):
-                    pltpu.make_async_copy(
-                        obuf.at[s],
-                        dattrs_ref.at[pl.ds(ostate[5 + s], chunk), :],
-                        osem.at[s],
-                    ).wait()
-                    ostate[3 + s] = 0
-        elif not _NO_STORES:
+        if not _NO_STORES:
             @pl.when(ostate[0] == 1)
             def _():
                 pltpu.make_async_copy(
@@ -763,6 +728,12 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
 # TIMING-ONLY compute ladder for _bwd_window (1=alphas, 2=+transmittance,
 # 3=+suffix sums, 4=+dsigma; 0=full). Output is garbage below full.
 _BWD_LEVEL = int(os.environ.get("TINYSPLAT_BWD_LEVEL", "0"))
+# A/B switch: fuse the moment and color-grad contractions into one stacked
+# MXU matmul (numerically identical blocks; see _bwd_window).
+_FUSED_MOMENTS = os.environ.get("TINYSPLAT_FUSED_MOMENTS", "1") == "1"
+# A/B switch: compute the K=4 Q contraction as 4 VPU fma passes instead of
+# an MXU dot (exact f32 — no bf16 splits needed on the VPU path).
+_Q_VPU = os.environ.get("TINYSPLAT_Q_VPU", "0") == "1"
 
 
 def _ladder_out(chunk, col):
@@ -802,7 +773,14 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     g = fg_ref[tt, 2:6, :]  # (4, P) composite cotangent
     colors = attrs[:, 6:10]  # (CHUNK, 4)
     # Q[e, p] = sum_c colors[e, c] * g[c, p]
-    q = _dot(colors, g, ((1,), (0,)))  # (CHUNK, P)
+    if _Q_VPU:
+        # A/B: a K=4 contraction is 4 VPU fma passes — the MXU alternative
+        # is 3 bf16 passes PLUS both operands' hi/lo splits.
+        q = colors[:, 0:1] * g[0:1, :]
+        for ci in range(1, 4):
+            q = q + colors[:, ci : ci + 1] * g[ci : ci + 1, :]
+    else:
+        q = _dot(colors, g, ((1,), (0,)))  # (CHUNK, P)
     qw = q * wmat
     csum = _cumsum_entries(qw)
     total_qw = csum[chunk - 1 : chunk, :]
@@ -823,15 +801,26 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     # dx = px - gx,   sum_p dsigma * dx = M1x - gx * M0, etc., where
     # M* are contractions of dsigma against the FIXED local pixel basis
     # [1, px, py, px^2, px*py, py^2]. One (CHUNK, P) x (P, 6) MXU
-    # contraction replaces five P-axis VPU tree-reductions (DEFAULT f32
-    # precision on TPU is the 3-pass bf16 decomposition — f32-equivalent
-    # accuracy); tile-local coords keep the recombination cancellation-free
-    # (see _pixel_coords_local).
+    # contraction replaces five P-axis VPU tree-reductions (manual bf16x3
+    # decomposition — see _dot); tile-local coords keep the recombination
+    # cancellation-free (see _pixel_coords_local).
     ones = jnp.ones((1, px.shape[1]), jnp.float32)
     basis = jnp.concatenate(
         [ones, px, py, px * px, px * py, py * py], axis=0
     )  # (6, P)
-    mom = _dot(dsigma, basis, ((1,), (1,)))  # (CHUNK, 6)
+    if _FUSED_MOMENTS:
+        # One (2*CHUNK, P) x (P, 10) contraction computes the moment block
+        # AND the color-gradient block (off-diagonal blocks are discarded):
+        # 3 bf16 passes instead of 6, halving per-matmul fixed costs
+        # (RHS weight loads: K/128 tiles per pass) at 2x row streaming.
+        lhs = jnp.concatenate([dsigma, wmat], axis=0)  # (2C, P)
+        rhs = jnp.concatenate([basis, g], axis=0)  # (10, P)
+        both = _dot(lhs, rhs, ((1,), (1,)))  # (2C, 10)
+        mom = both[:chunk, 0:6]
+        dcol_f = both[chunk:, 6:10]
+    else:
+        mom = _dot(dsigma, basis, ((1,), (1,)))  # (CHUNK, 6)
+        dcol_f = None
     m0 = mom[:, 0:1]
     m1x = mom[:, 1:2]
     m1y = mom[:, 2:3]
@@ -851,7 +840,7 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
     dcb = m2xy - gx * m1y - gy * m1x + gx * gy * m0
     dcc = 0.5 * (m2yy - 2.0 * gy * m1y + gy * gy * m0)
     # dL/dcolors[e, c] = sum_p g[c, p] * w[e, p]
-    dcol = _dot(wmat, g, ((1,), (1,)))  # (CHUNK, 4)
+    dcol = dcol_f if dcol_f is not None else _dot(wmat, g, ((1,), (1,)))
 
     # Carries for the previous (front-ward) window.
     carry[0:1, :] = t_start
@@ -921,7 +910,7 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int,
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((8, p), jnp.float32),
                 pltpu.SMEM((2,), jnp.int32),
-                pltpu.SMEM((8,), jnp.int32),
+                pltpu.SMEM((3,), jnp.int32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((d2p, TROWS), jnp.float32),

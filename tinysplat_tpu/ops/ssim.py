@@ -26,16 +26,30 @@ def _gaussian_window(size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(x: jax.Array, window: jax.Array) -> jax.Array:
-    """Separable valid-mode Gaussian blur of (B, C, H, W)."""
-    c = x.shape[1]
+def _band(n_in: int, window: jax.Array) -> jax.Array:
+    """(n_in, n_in-size+1) banded valid-correlation matrix of the window."""
     size = window.shape[0]
-    k_h = jnp.broadcast_to(window.reshape(1, 1, size, 1), (c, 1, size, 1))
-    k_w = jnp.broadcast_to(window.reshape(1, 1, 1, size), (c, 1, 1, size))
-    dn = jax.lax.conv_dimension_numbers(x.shape, k_h.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, k_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
-    x = jax.lax.conv_general_dilated(x, k_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
-    return x
+    n_out = n_in - size + 1
+    t = jnp.arange(n_in)[:, None] - jnp.arange(n_out)[None, :]
+    return jnp.where(
+        (t >= 0) & (t < size), window[jnp.clip(t, 0, size - 1)], 0
+    ).astype(window.dtype)
+
+
+def _blur(x: jax.Array, window: jax.Array) -> jax.Array:
+    """Separable valid-mode Gaussian blur of (B, C, H, W).
+
+    Implemented as two BANDED-MATRIX contractions instead of depthwise
+    convolutions: XLA:TPU lowers C=3 depthwise convs onto the VPU (measured
+    ~19 ms/step for the 10-conv SSIM stack fwd+bwd at 1600x1056, round-4
+    train-step profile), while the equivalent (H*C, W) x (W, W') matmuls
+    ride the MXU — the band's zeros are wasted FLOPs the MXU has to spare.
+    Same sums at f32 accumulation; the 1e-4 torch-oracle parity holds.
+    """
+    bw = _band(x.shape[3], window)  # (W, W')
+    bh = _band(x.shape[2], window)  # (H, H')
+    x = jnp.einsum("bchw,wv->bchv", x, bw)
+    return jnp.einsum("bchw,hu->bcuw", x, bh)
 
 
 def ssim_map(
