@@ -33,7 +33,7 @@ pure HBM traffic at bench scale; the per-index-bound gathers all stay on
 
 Per window (CHUNK entries x P = 256 pixels, all in VMEM):
   - alphas: VPU elementwise work on (CHUNK, P) tiles; entry centers arrive
-    pre-shifted to tile-local coordinates (XLA-side subtract);
+    shifted to tile-local coordinates in-kernel (per-tile prefetch origins);
   - transmittance: one exclusive cumulative product along the entry
     (sublane) axis — a triangular-ones MXU matmul in log space — seeded by
     a per-pixel carry that persists across the tile's windows;
@@ -378,9 +378,10 @@ def _pixel_coords_local(tile_x=TILE, dtype=jnp.float32):
     shrink the intersection count every per-entry cost scales with, at the
     price of more VPU lanes per entry (see rasterize_pallas ``tile_x``).
 
-    The kernels work in tile-local coordinates: entry centers are shifted by
-    their tile origin ONCE, at the XLA level (per-entry subtract fused into
-    the attribute gather). Beyond saving VPU work, local coordinates keep
+    The kernels work in tile-local coordinates: entry centers are shifted
+    by their tile origin in-kernel (two (CHUNK, 1) subtracts per window
+    from the per-tile scalar-prefetch shift arrays — see _alphas). Beyond
+    saving VPU work, local coordinates keep
     every quantity in the gradient moment expansion (see _bwd_window) at
     O(TILE) magnitude, so the px^2-weighted MXU moments suffer no
     catastrophic cancellation — with global pixel coordinates (up to ~4k)
@@ -392,16 +393,21 @@ def _pixel_coords_local(tile_x=TILE, dtype=jnp.float32):
     return lx, ly
 
 
-def _alphas(attrs, px, py, ent_ok):
+def _alphas(attrs, px, py, ent_ok, ox, oy):
     """Recompute (CHUNK, P) masked alphas from an attribute window.
 
-    attrs: (CHUNK, TROWS); columns 0/1 hold TILE-LOCAL splat centers
-    (pre-shifted). ent_ok (CHUNK, 1) masks window sublanes past the tile's
-    entry count — essential here, not cosmetic: an unpadded window's tail
-    sublanes hold the NEXT tile's real entries.
+    attrs: (CHUNK, TROWS); columns 0/1 hold GLOBAL splat centers — ``ox`` /
+    ``oy`` are the tile's pixel origin (traced scalars, from the per-tile
+    scalar-prefetch shift arrays), subtracted here on two (CHUNK, 1)
+    columns. Doing the shift in-kernel (instead of a per-ENTRY XLA-side
+    subtract) keeps the custom-vjp boundary a plain attribute gather: the
+    concat/split/pad glue that subtract forced at d2p scale was ~4 ms/step
+    at bench scale (measured round 4). ent_ok (CHUNK, 1) masks window
+    sublanes past the tile's entry count — essential here, not cosmetic: an
+    unpadded window's tail sublanes hold the NEXT tile's real entries.
     """
-    gx = attrs[:, 0:1]  # (CHUNK, 1) tile-local centers
-    gy = attrs[:, 1:2]
+    gx = attrs[:, 0:1] - ox  # (CHUNK, 1) tile-local centers
+    gy = attrs[:, 1:2] - oy
     ca = attrs[:, 2:3]
     cb = attrs[:, 3:4]
     cc = attrs[:, 4:5]
@@ -506,7 +512,7 @@ def _drain_pending(src_ref, buf, sem, pstate, chunk):
 
 
 def _fwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
-                starts, counts,
+                starts, counts, sx, sy,
                 attrs_ref, out_ref, buf, sem, carry, pstate):
     b = pl.program_id(0)
     p = TILE * tile_x
@@ -522,6 +528,8 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
         t = b * tpb + tt
         start = starts[t]
         cnt = counts[t]
+        ox = sx[t].astype(jnp.float32)  # tile pixel origin (see _alphas)
+        oy = sy[t].astype(jnp.float32)
         # Carry rows: 0 = frozen T (value when the pixel stopped compositing
         # — the CUDA kernel's output T), 1 = raw T (product over ALL masked
         # alphas, monotone — the liveness test; they agree until a pixel
@@ -550,7 +558,7 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
                 return k + 1, k > -1  # traced bool: keeps the while carry i1
 
             ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
-            alpha, _, _, _ = _alphas(attrs, px, py, ent < cnt)
+            alpha, _, _, _ = _alphas(attrs, px, py, ent < cnt, ox, oy)
             om = 1.0 - alpha  # >= 1e-3 wherever alpha > 0 (clamped at 0.999)
             t_raw_in = carry[1:2, :]  # (1, P)
             incl = t_raw_in * _cumprod_entries(om)  # (CHUNK, P)
@@ -621,7 +629,7 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
 
 
 def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
-                starts, counts, nlive,
+                starts, counts, nlive, sx, sy,
                 attrs_ref, fg_ref, dattrs_ref,
                 ibuf, isem, obuf, osem, carry, pstate, ostate):
     """fg packs the LIVE rows of the forward outputs and the composite
@@ -649,6 +657,8 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
         start = starts[t]
         cnt = counts[t]
         nl = nlive[t]
+        ox = sx[t].astype(jnp.float32)  # tile pixel origin (see _alphas)
+        oy = sy[t].astype(jnp.float32)
 
         @pl.when(nl > 0)
         def _():
@@ -677,7 +687,7 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
                     ibuf[slot])
             else:
                 dattrs = _bwd_window(chunk, k, cnt, ibuf[slot], fg_ref, tt,
-                                     carry, px, py)
+                                     carry, px, py, ox, oy)
             if _NO_STORES:  # timing bisect: measure everything but the store
                 # Keep dattrs from being DCE'd: fold a 0-scaled sum into the
                 # carry (numerically a no-op; the OUTPUT is garbage anyway).
@@ -743,9 +753,9 @@ def _ladder_out(chunk, col):
          jnp.zeros((chunk, TROWS - GRAD_ROWS), jnp.float32)], axis=1)
 
 
-def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py):
+def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py, ox, oy):
     ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
-    alpha, gx, gy, grad_ok = _alphas(attrs, px, py, ent < cnt)
+    alpha, gx, gy, grad_ok = _alphas(attrs, px, py, ent < cnt, ox, oy)
 
     # Live prefix from the saved per-pixel contribution count.
     n_contrib = fg_ref[tt, 1:2, :]  # (1, P)
@@ -874,11 +884,11 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int,
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, chunk, num_tiles, tpb, nt_pad, tile_x),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4,
             grid=(nblocks,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (tpb, OUT_ROWS, p), lambda b, s, c: (b, 0, 0)
+                (tpb, OUT_ROWS, p), lambda b, s, c, sx, sy: (b, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, chunk, TROWS), jnp.float32),
@@ -894,12 +904,12 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int,
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk, num_tiles, tpb, nt_pad, tile_x),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (tpb, FG_ROWS, p), lambda b, s, c, nl: (b, 0, 0)
+                    (tpb, FG_ROWS, p), lambda b, s, c, nl, sx, sy: (b, 0, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -929,17 +939,18 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int,
         return jnp.pad(attr_rows, ((0, 0), (0, TROWS - ROWS)))
 
     @jax.custom_vjp
-    def composite_tiles(attr_rows, tile_starts, counts):
+    def composite_tiles(attr_rows, tile_starts, counts, sx, sy):
         return fwd_call(_pad_t(tile_starts), _pad_t(counts),
-                        _pad_lanes(attr_rows))
+                        _pad_t(sx), _pad_t(sy), _pad_lanes(attr_rows))
 
-    def composite_fwd(attr_rows, tile_starts, counts):
+    def composite_fwd(attr_rows, tile_starts, counts, sx, sy):
         attrs_pad = _pad_lanes(attr_rows)
-        out = fwd_call(_pad_t(tile_starts), _pad_t(counts), attrs_pad)
-        return out, (attrs_pad, tile_starts, counts, out)
+        out = fwd_call(_pad_t(tile_starts), _pad_t(counts),
+                       _pad_t(sx), _pad_t(sy), attrs_pad)
+        return out, (attrs_pad, tile_starts, counts, sx, sy, out)
 
     def composite_bwd(res, gout):
-        attrs_pad, tile_starts, counts, fwd_out = res
+        attrs_pad, tile_starts, counts, sx, sy, fwd_out = res
         # (nt_pad, FG_ROWS, P) live-rows-only pack (see FG_ROWS layout);
         # gout tiles >= num_tiles are zero because the caller sliced the
         # primal output to num_tiles.
@@ -955,7 +966,7 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int,
             (_pad_t(counts) + chunk - 1) // chunk,
         ).astype(jnp.int32)
         dattrs = bwd_call(_pad_t(tile_starts), _pad_t(counts), nlive,
-                          attrs_pad, fg)
+                          _pad_t(sx), _pad_t(sy), attrs_pad, fg)
         # Zero the never-visited entry slots (the kernel writes only live
         # windows; everything else is HBM garbage). Gather-free per-entry
         # bound: scatter each tile's written end at its segment start, then
@@ -974,7 +985,7 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int,
         written = jnp.arange(d2p, dtype=jnp.int32) < fill_end
         dattr_rows = jnp.where(written[:, None], dattrs[:, :ROWS], 0.0)
         f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-        return dattr_rows, f0(tile_starts), f0(counts)
+        return dattr_rows, f0(tile_starts), f0(counts), f0(sx), f0(sy)
 
     composite_tiles.defvjp(composite_fwd, composite_bwd)
     return composite_tiles
@@ -1080,24 +1091,22 @@ def rasterize_pallas(
     safe = jnp.where(ids < 0, n, ids)
     attr_rows = gather(table, safe)  # (d2p, ROWS)
 
-    # Shift entry centers to tile-local coordinates (one fused subtract; the
-    # kernels then never touch tile ids), and pad the lane axis to a full
-    # 128-lane tile — the only row width Mosaic's HBM tiling can DMA-slice
-    # at dynamic major offsets (module docstring). The pad is pure HBM
-    # bandwidth (~1 ms/step at bench scale), NOT gather work.
-    ox = ((bins.entry_tile % tiles_x) * tile_x).astype(jnp.float32)
-    row_l = bins.entry_tile // tiles_x  # local tile row
+    # Per-TILE pixel origins (int32 scalar-prefetch arrays): the kernels
+    # shift entry centers to tile-local coordinates themselves — two
+    # (CHUNK, 1) subtracts per window — so the custom-vjp boundary stays a
+    # plain attribute gather. The per-ENTRY XLA-side subtract this replaces
+    # forced a concat whose VJP materialized split + re-concat glue at d2p
+    # scale (~4 ms/step at bench scale, measured round 4).
+    tid = jnp.arange(num_tiles, dtype=jnp.int32)
+    sx = (tid % tiles_x) * tile_x
+    row_l = tid // tiles_x  # local tile row
     if row_stride != 1:  # strided banding: local row -> global pixel row
         row_l = row_l * row_stride + jnp.asarray(row_offset, jnp.int32)
-    oy = (row_l * TILE).astype(jnp.float32)
-    shift = jnp.stack([ox, oy], axis=1)  # (d2p, 2)
-    attr_rows = jnp.concatenate(
-        [attr_rows[:, :2] - shift, attr_rows[:, 2:]], axis=1
-    )
+    sy = row_l * TILE
 
     composite_tiles = _cached_pallas_fns(num_tiles, d2p, chunk, tpb,
                                          tile_x)
-    out = composite_tiles(attr_rows, bins.tile_starts, bins.counts)
+    out = composite_tiles(attr_rows, bins.tile_starts, bins.counts, sx, sy)
     out = out[:num_tiles]  # drop block-pad tiles (their cotangent is zero)
 
     t_final = out[:, 4, :]  # (T, P)
