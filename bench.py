@@ -12,7 +12,9 @@ scales are sized so the 3-sigma screen radii land in the ~3-16 px range a
 work per splat matches real training, not a pathological all-giant-splat
 cloud.
 
-Prints ONE JSON line. vs_baseline is measured against an estimated 25
+Prints the headline JSON line immediately after the fwd+bwd timing loop
+(crash/timeout-proof), then a final line with the same headline fields plus
+the full-train-step numbers. vs_baseline is measured against an estimated 25
 Msplats/s fwd+bwd for the reference's gsplat CUDA path on a consumer GPU at
 this scene size (the reference publishes no numbers — BASELINE.md).
 """
@@ -55,6 +57,17 @@ _fail_fast_if_tpu_relay_dead()
 
 import jax
 import jax.numpy as jnp
+
+# Persist compiled executables across invocations (VERDICT r4 weak #1: a cold
+# run spends ~17 min compiling over the axon relay BEFORE printing anything,
+# and the driver's timeout ate round 4's headline artifact). The env var is
+# dead here — sitecustomize imports jax at interpreter startup — so this MUST
+# go through the config API (NOTES.md Gotchas).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BASELINE_MSPLATS_S = 25.0
 
@@ -115,6 +128,23 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
     dt = time.perf_counter() - t0
     msplats_s = n_splats * iters / dt / 1e6
 
+    # Emit the headline NOW (flushed), before the full-train-step section:
+    # if the driver's timeout fires during the second compile, this line is
+    # still the round's artifact (VERDICT r4 "Next round" item 1).
+    headline = {
+        "metric": "rasterize_fwd_bwd_throughput",
+        "value": round(msplats_s, 3),
+        "unit": "Msplats/s",
+        "vs_baseline": round(msplats_s / BASELINE_MSPLATS_S, 3),
+        "n_splats": n_splats,
+        "resolution": [height, width],
+        "config": {"tile_x": tile_x, "grad_reduce": grad_reduce,
+                   "tiles_per_block": tiles_per_block,
+                   "dup_capacity": dup_capacity,
+                   "span_capacity": span_capacity},
+    }
+    print(json.dumps(headline), flush=True)
+
     # Secondary: the FULL training step (render + L1/SSIM loss + Adam +
     # densify accumulator) — the number a user's wall clock sees — and the
     # rays/s (pixels per second) figure the >=85% scaling-efficiency bar in
@@ -144,21 +174,15 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
     steps_s = full_iters / dt_full
     rays_s = steps_s * height * width
 
+    # Final line repeats the headline plus the train-step numbers, so a
+    # last-line parser sees the complete record and a timeout still leaves
+    # the first line standing.
     print(json.dumps({
-        "metric": "rasterize_fwd_bwd_throughput",
-        "value": round(msplats_s, 3),
-        "unit": "Msplats/s",
-        "vs_baseline": round(msplats_s / BASELINE_MSPLATS_S, 3),
+        **headline,
         "train_step_ms": round(1000.0 / steps_s, 1),
         "train_steps_per_s": round(steps_s, 2),
         "rays_per_s": round(rays_s, 0),
-        "n_splats": n_splats,
-        "resolution": [height, width],
-        "config": {"tile_x": tile_x, "grad_reduce": grad_reduce,
-                   "tiles_per_block": tiles_per_block,
-                   "dup_capacity": dup_capacity,
-                   "span_capacity": span_capacity},
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

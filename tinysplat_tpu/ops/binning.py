@@ -65,7 +65,6 @@ class DenseBins(NamedTuple):
     """
 
     entry_rank: jax.Array  # (dup_capacity + chunk,) int32 DEPTH RANKS, -1 pad
-    entry_tile: jax.Array  # (dup_capacity + chunk,) int32 owner tile, last pad
     order: jax.Array  # (N,) depth sort: original id = order[rank]
     tile_starts: jax.Array  # (num_tiles,) int32 segment start per tile
     counts: jax.Array  # (num_tiles,) int32 clamped to max_per_tile
@@ -239,7 +238,11 @@ def _sorted_intersections(
     starts1 = ends1 - rows_o
     total_spans = ends1[-1]
     ranks = jnp.arange(n, dtype=jnp.int32)
-    mark1 = jnp.zeros((d1,), jnp.int32).at[starts1].max(ranks, mode="drop")
+    # starts1 is non-decreasing (cumsum boundaries): tell the scatter
+    # emitter (sorted-index scatters measured ~1.6x faster on v5e).
+    mark1 = jnp.zeros((d1,), jnp.int32).at[starts1].max(
+        ranks, mode="drop", indices_are_sorted=True
+    )
     span_rank = jax.lax.cummax(mark1)  # depth rank per span (monotone fill)
     # Each span's row-within-rect is its distance to the owning splat's first
     # span. That start position rides the EXISTING span gather as one more
@@ -353,8 +356,12 @@ def _sorted_intersections(
             | (span_base - prev_end + bias).astype(jnp.uint32)
         )
         init_val = jnp.uint32(1 + bias)  # rank 0, delta +1
+        # starts2_safe is strictly increasing: valid span starts ascend, and
+        # the invalid tail maps to d2 + iota (span_len == 0 only occurs past
+        # total_spans — every kept span has len >= 1, so validity is a
+        # prefix). Sorted + unique unlocks the fast scatter emitter path.
         scat = jnp.full((d2,), init_val).at[starts2_safe].set(
-            packed2, mode="drop", unique_indices=True
+            packed2, mode="drop", unique_indices=True, indices_are_sorted=True
         )
         # cummax is monotone because the (monotone) rank occupies the high
         # bits; only the RANK is read from the filled array — the delta of
@@ -372,10 +379,11 @@ def _sorted_intersections(
     else:
         delta = jnp.ones((d2,), jnp.int32)
         delta = delta.at[starts2_safe].set(span_base - prev_end, mode="drop",
-                                           unique_indices=True)
+                                           unique_indices=True,
+                                           indices_are_sorted=True)
         tile_lin = jnp.cumsum(delta)
         mark2 = jnp.zeros((d2,), jnp.int32).at[starts2_safe].max(
-            span_rank, mode="drop")
+            span_rank, mode="drop", indices_are_sorted=True)
         rank_of = jax.lax.cummax(mark2)  # monotone across spans
 
     in_range = jnp.arange(d2) < jnp.minimum(total2, d2)
@@ -529,15 +537,11 @@ def bin_splats_dense(
     counts = jnp.minimum(full_counts, max_per_tile)
     pad_entries = sorted_tile >= num_tiles
     entry_rank = jnp.where(pad_entries, -1, sorted_rank).astype(jnp.int32)
-    entry_tile = jnp.minimum(sorted_tile, num_tiles - 1).astype(jnp.int32)
     # One trailing all-pad chunk: DMA windows [start + k*chunk, +chunk) must
     # never cross the array end (dynamic-slice starts CLAMP, silently
     # shifting the window — measured, not hypothetical).
     entry_rank = jnp.concatenate(
         [entry_rank, jnp.full((chunk,), -1, jnp.int32)]
-    )
-    entry_tile = jnp.concatenate(
-        [entry_tile, jnp.full((chunk,), num_tiles - 1, jnp.int32)]
     )
     num_entries = jnp.minimum(total, dup_capacity).astype(jnp.int32)
 
@@ -547,7 +551,6 @@ def bin_splats_dense(
     tile_overflow = jnp.sum(full_counts - counts).astype(jnp.int32)
     return DenseBins(
         entry_rank=entry_rank,
-        entry_tile=entry_tile,
         order=order.astype(jnp.int32),
         tile_starts=tile_starts.astype(jnp.int32),
         counts=counts,

@@ -169,11 +169,20 @@ def _cumsum_rows(x: jax.Array) -> jax.Array:
     if dp != d:
         x = jnp.pad(x, ((0, dp - d), (0, 0)))
     xb = x.reshape(dp // 128, 128, c)
-    inner = jax.lax.dot_general(
-        xb, _tri_le(128), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, C, 128)
-    inner = jnp.swapaxes(inner, 1, 2)  # (B, 128, C)
+    # The 0/1 triangular matrix is bf16-exact; splitting only the data
+    # operand gives f32-equivalent products in 2 DEFAULT passes (the
+    # package-default HIGHEST would run the full 6-pass decomposition).
+    tri = _tri_le(128).astype(jnp.bfloat16)
+    hi, lo = _split_bf16(xb)
+
+    def d2(u):
+        return jax.lax.dot_general(
+            u, tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (B, C, 128)
+
+    inner = jnp.swapaxes(d2(hi) + d2(lo), 1, 2)  # (B, 128, C)
     bsums = jnp.sum(xb, axis=1)  # (B, C)
     carry = jnp.cumsum(bsums, axis=0) - bsums  # exclusive block prefix
     return (inner + carry[:, None, :]).reshape(dp, c)[:d]
@@ -189,6 +198,15 @@ def _segment_bwd(res, g):
     sorts, row gathers and an MXU cumsum — nothing per-index at entry scale.
     f32 prefix-sum cancellation bounds the relative error at ~|S_total|*eps
     per segment, validated against the oracle gradients in the parity tests.
+
+    Measured on the chip (round 5, 760k entries / 262k splats, tile_x=64):
+    'scatter' 65.8 ms/iter, 'sorted' 70.8, 'segment' 78.9 — XLA's plain
+    per-index scatter-add emitter beats both alternatives at bench scale,
+    so 'scatter' stays the default. (A searchsorted-based variant that
+    removed the compaction sort and final scatter measured 106 ms/iter:
+    TPU searchsorted at N queries is a ~20-step while-loop of gathers —
+    worse than the sort it replaced.) 'segment' remains for huge scenes
+    where the per-index scatter scales with capacity.
     """
     ids, n = res
     used = min(GRAD_ROWS, g.shape[1])
@@ -393,7 +411,78 @@ def _pixel_coords_local(tile_x=TILE, dtype=jnp.float32):
     return lx, ly
 
 
-def _alphas(attrs, px, py, ent_ok, ox, oy):
+# DANGEROUS experimental switch — DO NOT ENABLE on a shared chip. Evaluates
+# sigma as one (CHUNK, 8) x (8, P) MXU contraction against an EXACTLY-
+# bf16-representable pixel basis instead of the ~9-pass VPU dx/dy chain.
+# CPU-interpret parity holds to ~1e-4, but the first on-chip run (round 5)
+# returned garbage timings and WEDGED the TPU runtime (every later dispatch
+# hung) — suspect Mosaic mis-lowering of the K=8 bf16 dot. Needs an
+# isolated-chip investigation before it can ever default on.
+_SIGMA_MXU = os.environ.get("TINYSPLAT_SIGMA_MXU", "0") == "1"
+
+
+def _sigma_basis(tile_x, px, py):
+    """(8, P) bf16 basis [1, px, py, px2_hi, px2_lo, pxpy_hi, pxpy_lo, py2].
+
+    All rows are EXACT in bf16: px < tile_x <= 256 and py < 16 are small
+    integers; py^2 <= 225 fits bf16 directly; px^2 and px*py are split into
+    a round-to-nearest bf16 hi plus an integer residual |lo| <= 8 (exact).
+    Constant per kernel — hoisted out of the window loops.
+    """
+    one = jnp.ones_like(px)
+    px2 = px * px
+    pxpy = px * py
+    py2 = py * py
+
+    def split2(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+    p2h, p2l = split2(px2)
+    pph, ppl = split2(pxpy)
+    rows = jnp.concatenate(
+        [one, px, py, p2h, p2l, pph, ppl, py2], axis=0
+    )  # (8, P) f32, every element exactly bf16-representable
+    return rows.astype(jnp.bfloat16)
+
+
+def _sigma_mxu(attrs, basis, gx, gy, log_op):
+    """(CHUNK, P) ``sigma - log_op`` via one 3-pass MXU contraction.
+
+    sigma(dx, dy) = 0.5 A dx^2 + B dx dy + 0.5 C dy^2 with dx = px - gx
+    expands into per-entry coefficients of the fixed pixel basis; the
+    (CHUNK, 1) coefficient math is ~free next to (CHUNK, P) passes. The
+    rhs basis is exact (see _sigma_basis), so a 3-way hi/mid/lo lhs split
+    reaches ~f32 coefficient accuracy in 3 DEFAULT passes.
+    """
+    ca = attrs[:, 2:3]
+    cb = attrs[:, 3:4]
+    cc = attrs[:, 4:5]
+    half_a = 0.5 * ca
+    half_c = 0.5 * cc
+    c0 = half_a * gx * gx + cb * gx * gy + half_c * gy * gy - log_op
+    cpx = -(ca * gx + cb * gy)
+    cpy = -(cb * gx + cc * gy)
+    lhs = jnp.concatenate(
+        [c0, cpx, cpy, half_a, half_a, cb, cb, half_c], axis=1
+    )  # (CHUNK, 8)
+    hi = lhs.astype(jnp.bfloat16)
+    r1 = lhs - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(u):
+        return jax.lax.dot_general(
+            u, basis, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(hi) + d(mid) + d(lo)  # (CHUNK, P) == sigma - log_op
+
+
+def _alphas(attrs, px, py, ent_ok, ox, oy, live=None, basis=None):
     """Recompute (CHUNK, P) masked alphas from an attribute window.
 
     attrs: (CHUNK, TROWS); columns 0/1 hold GLOBAL splat centers — ``ox`` /
@@ -405,6 +494,13 @@ def _alphas(attrs, px, py, ent_ok, ox, oy):
     at bench scale (measured round 4). ent_ok (CHUNK, 1) masks window
     sublanes past the tile's entry count — essential here, not cosmetic: an
     unpadded window's tail sublanes hold the NEXT tile's real entries.
+    ``live`` (optional (CHUNK, P) bool) is merged into the keep mask here
+    so callers pay no separate where/and passes (the backward's
+    last-contributor prefix mask).
+
+    The opacity factor rides the exponent (``exp(log op - sigma)`` ==
+    ``op * exp(-sigma)`` to ~1 ulp; log runs on a (CHUNK, 1) column) —
+    one (CHUNK, P) multiply pass fewer.
     """
     gx = attrs[:, 0:1] - ox  # (CHUNK, 1) tile-local centers
     gy = attrs[:, 1:2] - oy
@@ -412,13 +508,21 @@ def _alphas(attrs, px, py, ent_ok, ox, oy):
     cb = attrs[:, 3:4]
     cc = attrs[:, 4:5]
     op = attrs[:, 5:6]
-    dx = px - gx  # (CHUNK, P)
-    dy = py - gy
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    e = jnp.exp(-sigma)
-    raw = op * e
+    log_op = jnp.log(jnp.maximum(op, 1e-30))  # (CHUNK, 1)
+    if _SIGMA_MXU and basis is not None:
+        nsig = _sigma_mxu(attrs, basis, gx, gy, log_op)  # sigma - log_op
+        raw = jnp.exp(-nsig)
+        sig_ok = nsig >= -log_op  # <=> sigma >= 0
+    else:
+        dx = px - gx  # (CHUNK, P)
+        dy = py - gy
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        raw = jnp.exp(log_op - sigma)
+        sig_ok = sigma >= 0.0
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    keep = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & ent_ok
+    keep = sig_ok & (alpha >= ALPHA_EPS) & ent_ok
+    if live is not None:
+        keep = keep & live
     alpha_m = jnp.where(keep, alpha, 0.0)
     grad_ok = keep & (raw < ALPHA_MAX)  # min() clamps gradient at 0.999
     return alpha_m, gx, gy, grad_ok
@@ -523,6 +627,7 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
         pstate[1] = 0
 
     px, py = _pixel_coords_local(tile_x)
+    basis = _sigma_basis(tile_x, px, py) if _SIGMA_MXU else None
 
     def tile_body(tt, _):
         t = b * tpb + tt
@@ -558,7 +663,8 @@ def _fwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
                 return k + 1, k > -1  # traced bool: keeps the while carry i1
 
             ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
-            alpha, _, _, _ = _alphas(attrs, px, py, ent < cnt, ox, oy)
+            alpha, _, _, _ = _alphas(attrs, px, py, ent < cnt, ox, oy,
+                                     basis=basis)
             om = 1.0 - alpha  # >= 1e-3 wherever alpha > 0 (clamped at 0.999)
             t_raw_in = carry[1:2, :]  # (1, P)
             incl = t_raw_in * _cumprod_entries(om)  # (CHUNK, P)
@@ -651,6 +757,7 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
             ostate[i] = 0
 
     px, py = _pixel_coords_local(tile_x)
+    basis = _sigma_basis(tile_x, px, py) if _SIGMA_MXU else None
 
     def tile_body(tt, _):
         t = b * tpb + tt
@@ -687,7 +794,7 @@ def _bwd_kernel(chunk, num_tiles, tpb, nt_pad, tile_x,
                     ibuf[slot])
             else:
                 dattrs = _bwd_window(chunk, k, cnt, ibuf[slot], fg_ref, tt,
-                                     carry, px, py, ox, oy)
+                                     carry, px, py, ox, oy, basis)
             if _NO_STORES:  # timing bisect: measure everything but the store
                 # Keep dattrs from being DCE'd: fold a 0-scaled sum into the
                 # carry (numerically a no-op; the OUTPUT is garbage anyway).
@@ -753,14 +860,15 @@ def _ladder_out(chunk, col):
          jnp.zeros((chunk, TROWS - GRAD_ROWS), jnp.float32)], axis=1)
 
 
-def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py, ox, oy):
+def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py, ox, oy,
+                basis=None):
     ent = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + k * chunk
-    alpha, gx, gy, grad_ok = _alphas(attrs, px, py, ent < cnt, ox, oy)
-
-    # Live prefix from the saved per-pixel contribution count.
+    # Live prefix from the saved per-pixel contribution count, merged into
+    # the alpha keep-mask (grad_ok then carries it too).
     n_contrib = fg_ref[tt, 1:2, :]  # (1, P)
     live = ent.astype(jnp.float32) < n_contrib  # (CHUNK, P)
-    alpha = jnp.where(live, alpha, 0.0)
+    alpha, gx, gy, grad_ok = _alphas(attrs, px, py, ent < cnt, ox, oy,
+                                     live=live, basis=basis)
     om = 1.0 - alpha
     if _BWD_LEVEL == 1:
         return _ladder_out(chunk, jnp.sum(om, axis=1, keepdims=True))
@@ -798,8 +906,10 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py, ox, oy):
     if _BWD_LEVEL == 3:
         return _ladder_out(chunk, jnp.sum(s_after, axis=1, keepdims=True))
 
-    dalpha = q * t_before - s_after / om
-    dsigma = jnp.where(grad_ok & live, -alpha * dalpha, 0.0)
+    # -alpha * dalpha with dalpha = q * t_before - s_after / om, using
+    # alpha * q * t_before == qw (already computed): two passes fewer and
+    # grad_ok already carries the live mask.
+    dsigma = jnp.where(grad_ok, (alpha / om) * s_after - qw, 0.0)
     if _BWD_LEVEL == 4:
         return _ladder_out(chunk, jnp.sum(dsigma, axis=1, keepdims=True))
 
@@ -979,7 +1089,7 @@ def _make_pallas_fns(num_tiles: int, d2p: int, chunk: int, tpb: int,
         # width (see _pad_lanes).
         ends = tile_starts + nlive[:num_tiles] * chunk
         mark = jnp.zeros((d2p,), jnp.int32).at[tile_starts].max(
-            ends, mode="drop"
+            ends, mode="drop", indices_are_sorted=True
         )
         fill_end = jax.lax.cummax(mark)
         written = jnp.arange(d2p, dtype=jnp.int32) < fill_end
