@@ -37,6 +37,8 @@ def main():
     args = p.parse_args()
 
     import jax
+    from tinysplat_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

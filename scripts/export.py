@@ -16,6 +16,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+from tinysplat_tpu.utils.cache import enable_compile_cache
+
+
 def main() -> None:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(levelname)s - %(message)s")
@@ -36,6 +39,7 @@ def main() -> None:
     from tinysplat_tpu.io.checkpoint import load_model
     from tinysplat_tpu.io.export import export_ply, export_splat, import_ply
 
+    enable_compile_cache()
     if args.input_file.endswith(".ply"):
         state = import_ply(args.input_file)
     else:

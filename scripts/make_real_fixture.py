@@ -159,14 +159,27 @@ def render_view(R, t, planes, xn, yn):
     return np.clip(img, 0.0, 1.0)
 
 
-def main():
+def main(out_root=None, n_views=None, width=None, height=None,
+         per_plane=120):
+    """Write the fixture. With arguments, writes a DENSER capture elsewhere
+    (e.g. /tmp) for full-scale real-photo training (quality_real.py) without
+    bloating the committed fixture."""
+    global W, H, CX, CY, FX, FY, N_VIEWS
+    if width:
+        FX = FY = FX * width / W  # keep the field of view
+        W, CX = width, width / 2.0
+    if height:
+        H, CY = height, height / 2.0
+    if n_views:
+        N_VIEWS = n_views
+
     from PIL import Image
     from tinysplat_tpu.data.colmap import (
         ColmapCamera, ColmapImage, ColmapPoints,
         write_cameras_binary, write_images_binary, write_points3d_binary,
     )
 
-    root = os.path.join(os.path.dirname(os.path.dirname(
+    root = out_root or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "fixtures", "real_colmap")
     img_dir = os.path.join(root, "images")
     sparse = os.path.join(root, "sparse", "0")
@@ -199,7 +212,6 @@ def main():
 
     # Sparse points: samples on the planes with texture colors.
     pts, cols = [], []
-    per_plane = 120
     for origin, U, V, tex in planes:
         u = RNG.uniform(0.03, 0.97, per_plane)
         v = RNG.uniform(0.03, 0.97, per_plane)

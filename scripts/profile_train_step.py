@@ -12,6 +12,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+from tinysplat_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 import jax.numpy as jnp
 
 

@@ -108,6 +108,17 @@ def main():
     p.add_argument("--densify-strategy", default="default",
                    choices=["default", "mcmc"])
     p.add_argument("--antialiased", action="store_true")
+    p.add_argument("--capacity", type=int, default=1 << 17,
+                   help="trainee splat capacity (MCMC fills it: smaller = "
+                        "faster steps; VERDICT r4 weak #4)")
+    p.add_argument("--eval-every", type=int, default=500)
+    p.add_argument("--eval-scales", default="",
+                   help="comma-separated extra held-out eval scales "
+                        "(e.g. '0.5,0.25') — multi-scale PSNR for the "
+                        "--antialiased trial (VERDICT r4 item 7)")
+    p.add_argument("--depth-reg", action="store_true",
+                   help="enable --regularize-depth with GT depth rendered "
+                        "from the GT scene (sparse-depth loss path)")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -117,6 +128,8 @@ def main():
 
     import dataclasses
     import jax
+    from tinysplat_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from tinysplat_tpu.config import Config
     from tinysplat_tpu.data.synthetic import orbit_cameras
@@ -143,13 +156,15 @@ def main():
     )
     cams = orbit_cameras(args.cameras, width=W, height=H, radius=3.2, fov=0.9)
 
-    @jax.jit
-    def render_gt(cam_params):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def render_gt_at(cam_params, h, w):
         # Explicit, generous budgets: silently truncated GT (the default
         # 8*N dup capacity is far under a dense shell scene's ~2.5M
         # intersections) poisons the whole benchmark — training fits the
         # truncated frames while eval renders the full model.
-        rgb, extras = render(gt_state.params, gt_state.alive, cam_params, H, W,
+        rgb, extras = render(gt_state.params, gt_state.alive, cam_params, h, w,
                              active_sh_degree=jnp.int32(3),
                              background=jnp.zeros(3),
                              rasterizer=args.gt_rasterizer,
@@ -157,19 +172,27 @@ def main():
                              max_per_tile=args.gt_max_per_tile,
                              span_capacity=2_000_000)
         d = extras["binning"]
-        return rgb, d["dup_dropped"] + d["tile_dropped"]
+        return rgb, extras["depth"], d["dup_dropped"] + d["tile_dropped"]
+
+    def render_gt(cam_params):
+        return render_gt_at(cam_params, H, W)
 
     log.info("rendering %d GT views of %d-splat scene at %dx%d",
              len(cams), n_gt, W, H)
     gt_dev = {}
     for i, cam in enumerate(cams):
-        dev, dropped = render_gt(cam.params())
+        dev, depth_dev, dropped = render_gt(cam.params())
         assert int(jax.device_get(dropped)) == 0, (
             f"GT view {i}: {int(jax.device_get(dropped))} intersections "
             "dropped — raise the GT render budgets")
         gt_dev[cam.name] = dev  # stays in HBM for the trainer's image cache
         img = np.asarray(jax.device_get(dev))
         cam._image = img.astype(np.float32)
+        if args.depth_reg:
+            # GT-scene depth stands in for a monocular estimate (exercises
+            # the full --regularize-depth loss path on chip; reference depth
+            # loss spec: /root/reference/scripts/train.py:65-69).
+            cam.estimated_depth = np.asarray(jax.device_get(depth_dev))
         if i == 0:
             cov = float((img.sum(-1) > 0.02).mean())
             log.info("GT view 0 coverage %.2f", cov)
@@ -184,31 +207,47 @@ def main():
     init_xyz = rng.uniform(lo, hi, size=(args.init_points, 3))
     init_rgb = rng.uniform(0.2, 0.8, size=(args.init_points, 3))
     state = init_from_pcd(init_xyz.astype(np.float32), init_rgb * 255.0,
-                          sh_degree=3, capacity=1 << 17)
+                          sh_degree=3, capacity=args.capacity)
 
     cfg = Config(rasterizer="auto", sh_degree=3, max_iter=args.iters,
                  eval_interval=0, densify_end=args.iters * 10 // 15,
                  densify_strategy=args.densify_strategy,
-                 antialiased=args.antialiased)
+                 antialiased=args.antialiased,
+                 regularize_depth=args.depth_reg)
     trainer = Trainer(cfg, Scene(train_cams), state)
     trainer.eval_cameras = eval_cams
     # GT frames are already in HBM from the render pass — skip re-upload.
     for cam in train_cams:
         trainer._image_cache[(cam.name, W, H)] = gt_dev[cam.name]
 
-    # Eval every 500 steps by hand so time-to-target is measured on the
+    # Eval on a fixed cadence by hand so time-to-target is measured on the
     # same clock as training (the >=27 dB north star is a speed claim too).
+    # Eval hygiene (VERDICT r4 item 9): an opacity reset deliberately
+    # degrades the model for a few hundred steps; sampling held-out PSNR at
+    # the exact reset step (r4: 7.45 dB at step 3000) misreports training
+    # health. Boundaries that collide with a reset are deferred past the
+    # recovery window and annotated.
+    reset_every = cfg.interval_opacity_reset
     t0 = time.perf_counter()
     eval_history = []
     time_to_target = None
-    eval_every = 500
+    eval_every = args.eval_every
     while trainer.step < args.iters:
-        trainer.run(min(trainer.step + eval_every, args.iters))
+        boundary = min(trainer.step + eval_every, args.iters)
+        post_reset = (
+            reset_every > 0 and args.densify_strategy != "mcmc"
+            and boundary % reset_every == 0 and boundary <= cfg.densify_end
+        )
+        if post_reset and boundary < args.iters:
+            boundary = min(boundary + max(300, eval_every // 2), args.iters)
+        trainer.run(boundary)
         ev_i = trainer.evaluate()
         wall = time.perf_counter() - t0
-        eval_history.append(
-            {"step": trainer.step, "minutes": round(wall / 60, 2),
-             "psnr": round(ev_i["eval_psnr"], 2)})
+        entry = {"step": trainer.step, "minutes": round(wall / 60, 2),
+                 "psnr": round(ev_i["eval_psnr"], 2)}
+        if post_reset:
+            entry["post_opacity_reset"] = True
+        eval_history.append(entry)
         if time_to_target is None and ev_i["eval_psnr"] >= args.target_psnr:
             time_to_target = wall
             log.info("reached %.1f dB at step %d (%.1f min)",
@@ -231,6 +270,45 @@ def main():
              float(jax.device_get(psnr_fn(rgb_tc, gt_tc))))
 
     ev = trainer.evaluate()
+
+    # Multi-scale held-out eval (VERDICT r4 item 7): Mip-Splatting's
+    # antialiasing compensates footprint shrinkage when rendering BELOW the
+    # training resolution — single-scale eval structurally cannot show it.
+    # GT is re-rendered from the GT scene at each scale (true multi-scale
+    # reference, not a resampled image).
+    scales = [float(s) for s in args.eval_scales.split(",") if s.strip()]
+    multiscale = {}
+    if scales:
+        from tinysplat_tpu.ops.ssim import psnr as msp
+
+        for s in scales:
+            h2 = max(int(round(H * s)) // 16 * 16, 16)
+            w2 = max(int(round(W * s)) // 16 * 16, 16)
+
+            @functools.partial(jax.jit, static_argnums=())
+            def render_model_s(params, alive, cam_params, deg, _h=h2, _w=w2):
+                rgb, _ = render(params, alive, cam_params, _h, _w,
+                                active_sh_degree=deg,
+                                background=jnp.zeros(3),
+                                rasterizer=cfg.rasterizer,
+                                dup_capacity=cfg.dup_capacity,
+                                max_per_tile=cfg.max_per_tile,
+                                span_capacity=cfg.span_capacity,
+                                antialiased=cfg.antialiased)
+                return rgb
+
+            vals = []
+            for cam in eval_cams:
+                cp = Trainer._scale_cam_params(cam.params(), cam, h2, w2)
+                gt2, _, drop2 = render_gt_at(cp, h2, w2)
+                rgb2 = render_model_s(trainer.state.params,
+                                      trainer.state.alive, cp,
+                                      trainer.state.active_sh_degree)
+                vals.append(msp(rgb2, gt2))
+            multiscale[f"{s:g}x"] = round(
+                float(np.mean(jax.device_get(vals))), 2)
+        log.info("multi-scale held-out PSNR: %s", multiscale)
+
     num_live = int(jax.device_get(jnp.sum(trainer.state.alive.astype(jnp.int32))))
     out = {
         "metric": "heldout_psnr_7k",
@@ -241,6 +319,8 @@ def main():
         "init": "uniform_random_aabb",
         "densify_strategy": args.densify_strategy,
         "antialiased": args.antialiased,
+        "depth_reg": args.depth_reg,
+        **({"multiscale_psnr": multiscale} if multiscale else {}),
         "minutes_to_%gdB" % args.target_psnr: (
             round(time_to_target / 60, 1) if time_to_target else None),
         "eval_history": eval_history,

@@ -44,6 +44,8 @@ def main():
     args = p.parse_args()
 
     import jax
+    from tinysplat_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     jax.config.update("jax_platforms", "cpu")
     if len(jax.devices()) < args.devices:

@@ -1,35 +1,47 @@
-"""SCALING_r04: chip-anchored multi-chip rays/s efficiency model.
+"""SCALING_r05: multi-chip rays/s efficiency model, every constant measured
+on the real chip (VERDICT r4 item 3).
 
 Real pod-slice hardware is unavailable in this sandbox (one v5e chip behind
 the axon relay), so the >=85% north-star scaling clause (BASELINE.md) cannot
-be measured end-to-end. This script produces the honest substitute the
-round-3 verdict asked for (item 6): a predicted rays/s efficiency curve for
-1xN 'tile' meshes anchored to THREE real-chip measurements plus the
-virtual-mesh structural constants from SCALING_r03.json:
+be measured end-to-end. This script replaces round 4's analytic model —
+whose "projection replicated per band" floor was wrong-pessimistic (the
+sharded step SHARDS projection over 'tile' and all_gathers the projected
+attrs, parallel/train_step.py steps 2-3) — with direct measurements of the
+exact per-device workloads a (data x tile) mesh schedules:
 
-  1. t_plain      — the plain single-device train step (bench scale);
-  2. t_sharded_11 — the SAME work through make_sharded_train_step on a
-                    1x1 mesh on the real chip: the sharded-step machinery
-                    overhead A/B (shard_map, spec plumbing, banding path);
-  3. t_proj       — projection+SH alone: the per-splat phase every 'tile'
-                    shard replicates (each band projects ALL splats, then
-                    bins only its rows).
+  t_plain          — plain single-device train step (the denominator);
+  t_machinery      — sharded-step plumbing overhead at a REAL 1x1 mesh
+                     (t_sharded_11 - t_plain: shard_map, spec plumbing,
+                     banding path), charged UNSCALED to every device;
+  t_grad_band(t,o) — fwd+bwd render gradient of ONE device's interleaved
+                     band (row_stride=t, row_offset=o) on a realistic
+                     clustered scene, measured for EVERY offset o — the max
+                     over o IS the band imbalance, measured on chip instead
+                     of imported from the virtual-mesh constant;
+  t_overhead(t)    — EVERYTHING but the render gradient at band scale:
+                     the ACTUAL sharded train step at image height H/t
+                     minus its own matched render gradient. Shard_map
+                     plumbing, losses/SSIM and Adam all land at the sizes
+                     a real band device sees (Adam still runs on the FULL
+                     parameter set here; the real mesh ZeRO-shards it
+                     1/(d*t) — pessimistic).
 
-Model (1xN tile mesh, B=1 camera):
-  T(N) = t_proj + (t_sharded_11 - t_proj) * work_overhead * imbalance / N
-         + t_coll(N)
-  t_coll(N) = 2 * C*12*4 * (N-1)/N bytes / ICI_BW   (projected-attr
-              all_gather + its reduce-scatter transpose; assumed NOT
-              overlapped — pessimistic, XLA schedules them against the
-              rasterize phase in practice)
-  efficiency(N) = t_plain / (N * T(N))      [rays/s per chip vs 1 chip]
+Per-device step time of a (d, t) mesh with B = d cameras (one per data
+group — parallel/train_step.py step 2 batches cameras over 'data'):
 
-work_overhead (1.01x) and post-interleave imbalance (1.07x) are measured on
-the virtual 8-device CPU mesh (SCALING_r03.json; structural properties of
-the banding/binning decomposition, independent of the compute backend).
-ICI_BW is v5e's ~400 GB/s bidirectional per chip (public spec).
+  T(d, t) = max_o t_grad_band(t, o) + t_overhead(t) + t_coll(d, t)
 
-Writes SCALING_r04.json. Run on the real chip: python scripts/scaling_model.py
+  t_coll  = FSDP param gather over 'data' + projected-attr gather over
+            'tile' + their reduce-scatter transposes, at ICI bandwidth,
+            assumed NOT overlapped (pessimistic; they are <0.1 ms here).
+
+  rays/s(d, t) = d * H * W / T;   efficiency vs 1 chip = t_plain / (t * T).
+
+Projection inside t_grad_band runs on ALL splats while the real mesh
+projects C/t per device then gathers — another pessimism. Every assumption
+errs against the model.
+
+Writes SCALING_r05.json. Run on the real chip: python scripts/scaling_model.py
 """
 import argparse
 import json
@@ -42,7 +54,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _time(fn, *args, iters=20, warmup=3):
+def _time(fn, *args, iters=20, warmup=2):
     import jax
 
     out = None
@@ -58,41 +70,79 @@ def _time(fn, *args, iters=20, warmup=3):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--n", type=int, default=1 << 18)
-    p.add_argument("--height", type=int, default=1056)  # 66 tile rows
+    p.add_argument("--height", type=int, default=1024)  # 64 tile rows: all t
     p.add_argument("--width", type=int, default=1600)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--work-overhead", type=float, default=1.01)
-    p.add_argument("--imbalance", type=float, default=1.07)
     p.add_argument("--ici-gbps", type=float, default=400.0)
-    p.add_argument("--out", default="SCALING_r04.json")
+    p.add_argument("--clusters", type=int, default=70)
+    p.add_argument("--per-cluster", type=int, default=2500)
+    p.add_argument("--out", default="SCALING_r05.json")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _example_state
+    from tinysplat_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
+    import dataclasses
+
+    from quality_bench import make_gt_scene
     from tinysplat_tpu.config import Config
     from tinysplat_tpu.data.synthetic import orbit_cameras
+    from tinysplat_tpu.models.gaussians import init_from_pcd
     from tinysplat_tpu.parallel import (
         make_mesh, make_sharded_train_step, shard_state,
     )
+    from tinysplat_tpu.render import render
     from tinysplat_tpu.train import init_opt_state, make_train_step
 
-    H, W, n = args.height, args.width, args.n
+    H, W = args.height, args.width
     backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
-    cfg = Config(rasterizer=backend, sh_degree=3,
-                 dup_capacity=1_280_000, span_capacity=786_432,
-                 max_per_tile=2048)
-    state = _example_state(n=n, capacity=n, scale_range=(0.002, 0.01))
-    opt = init_opt_state(cfg, state)
-    cam = orbit_cameras(1, width=W, height=H)[0]
-    gt = jnp.zeros((H, W, 3), jnp.float32)
+
+    # Realistic clustered scene (the distribution a trained scene has —
+    # dense shells + slab + dome; uniform clouds understate band imbalance).
+    means, log_scales, quats, colors, opac = make_gt_scene(
+        n_clusters=args.clusters, per_cluster=args.per_cluster, seed=0)
+    n = len(means)
+
+    def fresh_state():
+        st = init_from_pcd(means, colors * 255.0, sh_degree=3, capacity=n)
+        return dataclasses.replace(st, params=dataclasses.replace(
+            st.params, scales=jnp.asarray(log_scales),
+            quats=jnp.asarray(quats), opacities=jnp.asarray(opac)))
+
+    state = fresh_state()
+    cam = orbit_cameras(1, width=W, height=H, radius=3.2, fov=0.9)[0]
+    camera = cam.params()
     key = jax.random.PRNGKey(0)
 
+    # Probe the full-frame intersection count once -> per-band budgets with
+    # 1.6x headroom, VERIFIED drop-free below.
+    def _probe(params, alive):
+        _, extras = render(
+            params, alive, camera, H, W, active_sh_degree=jnp.int32(3),
+            background=jnp.zeros(3), rasterizer=backend,
+            dup_capacity=28 * n, span_capacity=10 * n, max_per_tile=16384)
+        d = extras["binning"]
+        return {"intersections": d["intersections"],
+                "dup_dropped": d["dup_dropped"],
+                "tile_dropped": d["tile_dropped"]}
+
+    diag = jax.device_get(jax.jit(_probe)(state.params, state.alive))
+    inter = int(diag["intersections"])
+    assert int(diag["dup_dropped"]) == 0 and int(diag["tile_dropped"]) == 0, diag
+    print(f"scene: {n} splats, {inter} intersections at {W}x{H}")
+
+    def budgets(t):
+        dup = -(-int(inter * 2.0 / t) // 128) * 128
+        return dict(dup_capacity=dup, span_capacity=max(dup // 2, 2 * n),
+                    max_per_tile=8192)
+
+    cfg = Config(rasterizer=backend, sh_degree=3, **budgets(1))
+
     def _time_step(step, st, op, *rest, iters):
-        # The train steps DONATE state/opt buffers — thread them through.
-        out = step(st, op, *rest)
+        out = step(st, op, *rest)  # donated buffers: thread through
         st, op = out.state, out.opt_state
         jax.block_until_ready(st.params.means)
         t0 = time.perf_counter()
@@ -102,96 +152,160 @@ def main():
         jax.block_until_ready(st.params.means)
         return (time.perf_counter() - t0) / iters * 1e3
 
-    # 1. plain single-device step
-    tstep = make_train_step(cfg, H, W)
+    # 1. plain single-device full step (the denominator).
+    gt = jnp.zeros((H, W, 3), jnp.float32)
     t_plain = _time_step(
-        tstep, state, opt, cam.params(), gt, None, jnp.int32(1), key,
-        iters=args.iters)
+        make_train_step(cfg, H, W), fresh_state(), init_opt_state(cfg, state),
+        camera, gt, None, jnp.int32(1), key, iters=args.iters)
     print(f"t_plain = {t_plain:.1f} ms")
 
-    # 2. sharded step on a REAL 1x1 mesh (machinery overhead A/B)
+    # 2. sharded-machinery overhead at a REAL 1x1 mesh.
     mesh = make_mesh(data=1, tile=1)
-    state = _example_state(n=n, capacity=n, scale_range=(0.002, 0.01))
-    sstate = shard_state(mesh, state)
-    sopt = shard_state(mesh, init_opt_state(cfg, state))
-    cam_batch = jax.tree.map(lambda x: x[None], cam.params())
-    sstep = make_sharded_train_step(cfg, H, W, 1, mesh)
-    t_sharded = _time_step(
-        sstep, sstate, sopt, cam_batch, gt[None], None, 1, key,
-        iters=args.iters)
-    print(f"t_sharded_1x1 = {t_sharded:.1f} ms "
-          f"(overhead {t_sharded / t_plain:.3f}x)")
+    st1 = shard_state(mesh, fresh_state())
+    op1 = shard_state(mesh, init_opt_state(cfg, state))
+    cam_batch = jax.tree.map(lambda x: x[None], camera)
+    t_sharded_11 = _time_step(
+        make_sharded_train_step(cfg, H, W, 1, mesh), st1, op1, cam_batch,
+        gt[None], None, 1, key, iters=args.iters)
+    t_machinery = max(t_sharded_11 - t_plain, 0.0)
+    print(f"t_sharded_1x1 = {t_sharded_11:.1f} ms "
+          f"(machinery +{t_machinery:.1f} ms)")
 
-    # 3. the replicated per-splat phase: projection + SH eval alone (the
-    # same call shape render() uses; see render.py:129-150)
-    from tinysplat_tpu.ops.projection import project_gaussians
-    from tinysplat_tpu.ops.sh import eval_sh
-    from tinysplat_tpu.render import compute_viewdirs
+    # 3. per-band render gradient, every offset (measured imbalance), and
+    # 4. band-height tail = t_step(H/t) - t_grad(H/t).
+    import functools
 
-    camera = cam.params()
+    state = fresh_state()  # earlier steps donated the previous buffers
 
-    def proj_fn(params):
-        proj = project_gaussians(
-            means=params.means, scales=jnp.exp(params.scales),
-            glob_scale=1.0, quats=params.quats, viewmat=camera.viewmat,
-            full_projmat=camera.projmat @ camera.viewmat,
-            fx=camera.fx, fy=camera.fy,
-            cx=W / 2.0 + camera.cx_off, cy=H / 2.0 + camera.cy_off,
-            img_height=H, img_width=W)
-        viewdirs = compute_viewdirs(params.means, camera)
-        rgbs = eval_sh(jnp.int32(3), viewdirs, params.sh_coeffs())
-        return proj.xys, proj.depths, proj.radii, proj.conics, rgbs
+    def make_grad(t):
+        bud = budgets(t)
+        Hl = H // t
 
-    pj = jax.jit(proj_fn)
-    # fresh params: the step timings above DONATED the earlier buffers
-    params = _example_state(n=n, capacity=n, scale_range=(0.002, 0.01)).params
-    t_proj = _time(pj, params, iters=args.iters)
-    print(f"t_proj = {t_proj:.1f} ms")
+        def loss_fn(params, offset):
+            rgb, extras = render(
+                params, state.alive, camera, Hl, W,
+                active_sh_degree=jnp.int32(3), background=jnp.zeros(3),
+                rasterizer=backend, row_stride=t, row_offset=offset,
+                proj_height=H, **bud)
+            return jnp.sum(rgb) + jnp.sum(extras["depth"])
 
-    # Predicted efficiency curve
-    C = state.params.means.shape[0]
-    coll_bytes = 2 * C * 12 * 4  # gather + reduce-scatter transpose, full
-    scal = args.work_overhead * args.imbalance
-    t_entry = max(t_sharded - t_proj, 0.0)
+        return jax.jit(jax.grad(loss_fn))
+
+    def probe_drops(t, offset):
+        bud = budgets(t)
+        _, extras = render(
+            state.params, state.alive, camera, H // t, W,
+            active_sh_degree=jnp.int32(3), background=jnp.zeros(3),
+            rasterizer=backend, row_stride=t, row_offset=offset,
+            proj_height=H, **bud)
+        d = extras["binning"]
+        return d["dup_dropped"] + d["tile_dropped"]
+
+    t_grad, t_overhead, t_band = {}, {}, {}
+    for t in (1, 2, 4, 8, 16):
+        if (H // 16) % t != 0:  # bands must be whole 16px tile rows
+            continue
+        g = make_grad(t)
+        drops = jax.jit(probe_drops, static_argnums=(0,))
+        per_off = []
+        for o in range(t):
+            assert int(jax.device_get(drops(t, o))) == 0, (t, o)
+            per_off.append(_time(g, state.params, jnp.int32(o),
+                                 iters=max(args.iters // 2, 8)))
+        t_grad[t] = per_off
+        worst = max(per_off)
+        # Everything-but-the-render-grad at BAND scale, measured as the
+        # ACTUAL sharded step at image height Hl minus its own matched
+        # render gradient: shard_map plumbing, losses/SSIM and Adam land at
+        # the sizes a real band device sees (Adam still runs on the FULL
+        # parameter set here; the real mesh ZeRO-shards it: pessimistic).
+        Hl = H // t
+        cfg_b = Config(rasterizer=backend, sh_degree=3, **budgets(t))
+        mesh_b = make_mesh(data=1, tile=1)
+        st_b = shard_state(mesh_b, fresh_state())
+        op_b = shard_state(mesh_b, init_opt_state(cfg_b, state))
+        t_sharded_b = _time_step(
+            make_sharded_train_step(cfg_b, Hl, W, 1, mesh_b), st_b, op_b,
+            jax.tree.map(lambda x: x[None], camera),
+            jnp.zeros((1, Hl, W, 3), jnp.float32), None, 1, key,
+            iters=args.iters)
+        state = fresh_state()  # step timing donated the previous buffers
+
+        def band_loss(params):  # matches the sharded band's render framing
+            rgb, extras = render(
+                params, state.alive, camera, Hl, W,
+                active_sh_degree=jnp.int32(3), background=jnp.zeros(3),
+                rasterizer=backend, **budgets(t))
+            return jnp.sum(rgb) + jnp.sum(extras["depth"])
+
+        g_plain = _time(jax.jit(jax.grad(band_loss)), state.params,
+                        iters=args.iters)
+        t_overhead[t] = max(t_sharded_b - g_plain, 0.0)
+        t_band[t] = worst
+        imb = worst / (sum(per_off) / len(per_off))
+        print(f"t={t:2d}: grad worst {worst:.1f} ms (imbalance {imb:.2f}x), "
+              f"sharded band step {t_sharded_b:.1f} ms, plain band grad "
+              f"{g_plain:.1f} ms -> overhead {t_overhead[t]:.1f} ms")
+
+    # 5. collectives (unoverlapped, v5e ICI).
+    sh_dim = 3 * (cfg.sh_degree + 1) ** 2
+    param_bytes = n * (11 + sh_dim) * 4
+    proj_bytes = n * 12 * 4
+
+    def t_coll(d, t):
+        fsdp = 2 * param_bytes * (d - 1) / max(d, 1)
+        proj = 2 * proj_bytes * (t - 1) / max(t, 1)
+        return (fsdp + proj) / (args.ici_gbps * 1e9) * 1e3
+
+    meshes = [(1, 1), (1, 2), (1, 4), (2, 2), (1, 8), (2, 4), (4, 2),
+              (2, 8), (4, 4), (8, 2)]
     pred = {}
-    for N in (1, 2, 4, 8, 16):
-        t_coll = (coll_bytes * (N - 1) / N) / (args.ici_gbps * 1e9) * 1e3
-        s = scal if N > 1 else 1.0  # no bands/imbalance on a 1x1 mesh
-        t_n = t_proj + t_entry * s / N + t_coll
-        eff = t_plain / (N * t_n)
-        pred[str(N)] = {
-            "t_step_ms": round(t_n, 2),
-            "t_coll_ms": round(t_coll, 4),
-            "rays_per_s": round(N * H * W / t_n * 1e3, 0),
+    for d, t in meshes:
+        if t not in t_band:
+            continue
+        T = t_band[t] + t_overhead[t] + t_coll(d, t)
+        eff = t_plain / (t * T)
+        pred[f"{d}x{t}"] = {
+            "chips": d * t,
+            "t_step_ms": round(T, 2),
+            "t_coll_ms": round(t_coll(d, t), 4),
+            "rays_per_s": round(d * H * W / T * 1e3, 0),
             "efficiency_vs_1chip": round(eff, 3),
         }
-        print(f"N={N:2d}: T={t_n:7.1f} ms  eff={eff:.3f}")
+        print(f"mesh {d}x{t} ({d * t:2d} chips): T={T:6.1f} ms  eff={eff:.3f}")
 
+    best8 = max((v for v in pred.values() if v["chips"] == 8),
+                key=lambda v: v["efficiency_vs_1chip"])
     out = {
         "metric": "predicted_scaling_efficiency",
-        "value": pred["8"]["efficiency_vs_1chip"],
-        "unit": "rays/s efficiency at 8 chips vs 1",
+        "value": best8["efficiency_vs_1chip"],
+        "unit": "rays/s efficiency at 8 chips vs 1 (best mesh)",
         "measured_on_chip": {
             "t_plain_ms": round(t_plain, 2),
-            "t_sharded_1x1_ms": round(t_sharded, 2),
-            "sharded_machinery_overhead": round(t_sharded / t_plain, 4),
-            "t_proj_ms": round(t_proj, 2),
-        },
-        "virtual_mesh_constants": {
-            "work_overhead": args.work_overhead,
-            "imbalance_interleaved": args.imbalance,
-            "source": "SCALING_r03.json (8-dev CPU mesh, structural)",
+            "t_sharded_1x1_ms": round(t_sharded_11, 2),
+            "t_machinery_ms": round(t_machinery, 2),
+            "t_grad_band_ms": {str(t): [round(x, 2) for x in v]
+                               for t, v in t_grad.items()},
+            "t_overhead_ms": {str(t): round(v, 2)
+                              for t, v in t_overhead.items()},
+            "band_imbalance_measured": {
+                str(t): round(max(v) / (sum(v) / len(v)), 3)
+                for t, v in t_grad.items()},
         },
         "assumptions": [
-            "1xN 'tile' mesh, B=1 camera (pure pixel parallelism)",
+            "(d x t) mesh, B = d cameras/step (one per data group)",
             f"ICI {args.ici_gbps} GB/s bidirectional per chip (v5e spec)",
             "collectives NOT overlapped with compute (pessimistic)",
-            "projection+SH replicated per band (measured t_proj floor)",
-            "per-entry phase scales 1/N x work_overhead x imbalance",
+            "projection + Adam measured UNSHARDED inside the band grad and"
+            " the band-scale sharded step (the real mesh shards both:"
+            " pessimistic)",
+            "worst band offset paces every step (measured max over o)",
         ],
         "predicted": pred,
         "n_splats": n,
+        "intersections_full_frame": inter,
         "resolution": [H, W],
+        "scene": "clustered shells + slab + dome (quality_bench GT)",
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

@@ -170,6 +170,9 @@ async def main() -> None:
 
     import jax
 
+    from tinysplat_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     if len(jax.devices()) > 1 and (cfg.mesh_tile > 1 or cfg.mesh_splat > 1):
         from tinysplat_tpu.parallel import MeshTrainer, make_mesh
 

@@ -33,6 +33,8 @@ def main():
     args = p.parse_args()
 
     import jax
+    from tinysplat_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_state

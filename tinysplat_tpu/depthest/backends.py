@@ -106,6 +106,48 @@ class DepthAnythingBackend:
         return depth
 
 
+class SparseInterpBackend:
+    """Dense depth by interpolating the camera's sparse SfM points.
+
+    The classic sparse-to-dense baseline — and the only dense "estimator"
+    that needs no network weights, so real-photo training with
+    --regularize-depth runs in a zero-egress sandbox through the SAME
+    DepthEstimator/alignment path a hub model would use. Depths are already
+    metric (camera-space z), so the downstream match_scale fit is ~identity.
+
+    The point cloud arrives via ``bind_pcd`` (DepthEstimator supplies it —
+    the backend protocol's predict() only sees the camera).
+    """
+
+    space = "depth"
+
+    def __init__(self):
+        self.pcd = None
+
+    def bind_pcd(self, pcd):
+        self.pcd = pcd
+
+    def predict(self, camera) -> np.ndarray:
+        from .sparse import estimate_sparse
+
+        if self.pcd is None:
+            raise ValueError("sparse_interp backend needs bind_pcd(pcd)")
+        rows, cols, z, _err = estimate_sparse(camera, self.pcd)
+        h, w = camera.height, camera.width
+        if z.size < 4:
+            return np.full((h, w), float(z.mean()) if z.size else 1.0)
+        from scipy.interpolate import griddata
+
+        gy, gx = np.mgrid[0:h, 0:w]
+        pts = np.stack([rows, cols], axis=1).astype(np.float64)
+        dense = griddata(pts, z, (gy, gx), method="linear")
+        holes = ~np.isfinite(dense)
+        if holes.any():  # outside the convex hull: nearest fill
+            dense[holes] = griddata(pts, z, (gy[holes], gx[holes]),
+                                    method="nearest")
+        return dense
+
+
 def load_backend(name_or_backend):
     if not isinstance(name_or_backend, str):
         return name_or_backend
@@ -116,4 +158,6 @@ def load_backend(name_or_backend):
         return MidasBackend()
     if name == "depth_anything":
         return DepthAnythingBackend()
+    if name == "sparse_interp":
+        return SparseInterpBackend()
     raise ValueError(f"Unknown depth model type: {name}")

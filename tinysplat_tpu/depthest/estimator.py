@@ -65,6 +65,8 @@ class DepthEstimator:
         """Dense prediction + SfM scale alignment (depth.py:52-65)."""
         if self.backend is None:
             self.backend = load_backend(self._model_name)
+        if hasattr(self.backend, "bind_pcd"):
+            self.backend.bind_pcd(self.pcd)  # sparse_interp needs the SfM pts
         dense = self.backend.predict(camera)
         if self.pcd is None or camera.visible_point_ids is None:
             return dense

@@ -67,6 +67,43 @@ class TinysplatDiffusionPipeline:
         params = cls.init_params(key, fe, fa, em, unet, vae, sample_size, latent_channels)
         return cls(fe, fa, em, unet, vae, sched, params)
 
+    def save_native(self, model_dir: str) -> None:
+        """Persist a tiny-topology pipeline (config.json + params.msgpack).
+
+        The in-sandbox prior-training path (scripts/train_diffusion_prior.py)
+        has no diffusers checkpoint to write; this native format round-trips
+        the full param pytree of a ``tiny()`` pipeline exactly."""
+        import json
+        import os
+
+        import flax.serialization
+
+        os.makedirs(model_dir, exist_ok=True)
+        cfg = {"format": "tinysplat_native",
+               "sample_size": self.unet.sample_size,
+               "latent_channels": self.vae.latent_channels}
+        with open(os.path.join(model_dir, "config.json"), "w") as f:
+            json.dump(cfg, f)
+        with open(os.path.join(model_dir, "params.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(self.params))
+
+    @classmethod
+    def load_native(cls, model_dir: str):
+        """Load a save_native() checkpoint (tiny topology + trained params)."""
+        import json
+        import os
+
+        import flax.serialization
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            cfg = json.load(f)
+        pipe = cls.tiny(jax.random.PRNGKey(0),
+                        sample_size=cfg["sample_size"],
+                        latent_channels=cfg["latent_channels"])
+        with open(os.path.join(model_dir, "params.msgpack"), "rb") as f:
+            params = flax.serialization.from_bytes(pipe.params, f.read())
+        return dataclasses.replace(pipe, params=params)
+
     @classmethod
     def from_pretrained(cls, model_dir: str, key: Optional[jax.Array] = None):
         """Load a local diffusers-format checkpoint directory.
@@ -83,7 +120,14 @@ class TinysplatDiffusionPipeline:
         When the UNet's in_channels leave no room for the feature volume
         (a stock SD checkpoint), feature conditioning is disabled.
         """
+        import json
         import os
+
+        native_cfg = os.path.join(model_dir, "config.json")
+        if os.path.exists(native_cfg):
+            with open(native_cfg) as f:
+                if json.load(f).get("format") == "tinysplat_native":
+                    return cls.load_native(model_dir)
 
         from .port import load_config, load_unet, load_vae
         from .sd_adapters import SDUNetAdapter, SDVAEAdapter

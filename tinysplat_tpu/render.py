@@ -113,6 +113,9 @@ def render(
     tiles_per_block: int = 8,
     tile_x: int = 0,  # pallas-only tile WIDTH (default tile_size; height 16)
     antialiased: bool = False,
+    row_stride: int = 1,
+    row_offset=0,
+    proj_height: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Render an (H, W, 3) image (+ extras) from Gaussian parameters.
 
@@ -121,11 +124,19 @@ def render(
     (rasterize.py:86), fused RGB+D compositing, final RGB clamp <= 1
     (rasterize.py:45).
 
+    Band rendering (``row_stride`` S > 1): renders only the interleaved
+    global 16px tile rows {row_offset, row_offset + S, ...} of a
+    ``proj_height``-tall image into an (img_height, W) band — the exact
+    per-device workload of the sharded step's 'tile' axis
+    (parallel/train_step.py step 4); projection and intrinsics use the FULL
+    image height (``proj_height``, default img_height).
+
     Returns:
       rgb (H, W, 3) and extras dict with 'depth' (H, W), 'alpha' (H, W),
       'radii' (C,), 'xys' (C, 2), 'camera' dims — the same keys the training
       loop consumes (reference scripts/train.py:66-102).
     """
+    ph = proj_height or img_height
     proj = project_gaussians(
         means=params.means,
         scales=jnp.exp(params.scales),
@@ -136,8 +147,8 @@ def render(
         fx=camera.fx,
         fy=camera.fy,
         cx=img_width / 2.0 + camera.cx_off,
-        cy=img_height / 2.0 + camera.cy_off,
-        img_height=img_height,
+        cy=ph / 2.0 + camera.cy_off,
+        img_height=ph,
         img_width=img_width,
         tile_size=tile_size,
     )
@@ -162,6 +173,7 @@ def render(
     if rasterizer == "dense":
         from .ops.rasterize_dense import rasterize_dense
 
+        assert row_stride == 1, "dense oracle has no banding path"
         img4, alpha = rasterize_dense(
             xys, proj.depths, proj.conics, colors4, opacities, valid,
             img_height, img_width, bg4,
@@ -174,6 +186,7 @@ def render(
             img_height, img_width, bg4, tile_size=tile_size,
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
             span_capacity=span_capacity,
+            row_stride=row_stride, row_offset=row_offset,
             return_diagnostics=True,
         )
     elif rasterizer == "pallas":
@@ -185,6 +198,7 @@ def render(
             dup_capacity=dup_capacity, max_per_tile=max_per_tile,
             span_capacity=span_capacity, grad_reduce=grad_reduce,
             chunk=chunk, tiles_per_block=tiles_per_block, tile_x=tile_x,
+            row_stride=row_stride, row_offset=row_offset,
             return_diagnostics=True, tile_size=tile_size,
         )
     else:

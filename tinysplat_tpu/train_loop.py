@@ -812,7 +812,16 @@ class Trainer:
         if not changes:
             return
         if "dup_capacity" in changes:
-            changes["dup_capacity"] = (changes["dup_capacity"] + 127) // 128 * 128
+            # Quantize UP to ~12.5% relative granularity (a power-of-2 grid
+            # one eighth of the value's magnitude): every distinct budget is
+            # one compiled executable (~1-3 min over a tunneled TPU), and
+            # coarse values RECUR — across retunes, stages, and whole runs —
+            # so the persistent compilation cache absorbs them
+            # (utils/cache.py). Relative, not absolute: a 64k floor would
+            # turn small-scene shrinks into growths.
+            v = int(changes["dup_capacity"])
+            grid = max(128, 1 << max(v.bit_length() - 3, 7))
+            changes["dup_capacity"] = -(-v // grid) * grid
         if changes.get("dup_capacity", current) > current or "max_per_tile" in changes:
             self._no_shrink_until = self.step + 3 * self.interval_densify
         log.info(
