@@ -194,7 +194,7 @@ if __name__ == "__main__":
     p.add_argument("--width", type=int, default=1600)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--grad-reduce", default="scatter",
-                   choices=["scatter", "sorted", "segment"])
+                   choices=["scatter", "sorted", "segment", "mxu"])
     p.add_argument("--tpb", type=int, default=8, help="tiles per Pallas block")
     p.add_argument("--tile-x", type=int, default=64,
                    help="Pallas tile width px (height fixed 16)")

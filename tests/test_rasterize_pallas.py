@@ -28,7 +28,7 @@ def test_pallas_matches_dense_multiblock():
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_d), atol=5e-5)
 
 
-@pytest.mark.parametrize("grad_reduce", ["sorted", "scatter", "segment"])
+@pytest.mark.parametrize("grad_reduce", ["sorted", "scatter", "segment", "mxu"])
 def test_pallas_gradients_match_dense(grad_reduce):
     case = random_case(n=80, H=32, W=48, seed=2)
     xys, depths, radii, conics, colors, opac, valid, H, W, bg = to_jnp(case)

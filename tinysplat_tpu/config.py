@@ -124,7 +124,7 @@ class Config:
     dup_capacity: int = 0
     max_per_tile: int = 0
     span_capacity: int = 0  # binning row-span budget (0 = auto)
-    grad_reduce: str = "scatter"  # pallas entry-grad reduction: scatter|sorted|segment
+    grad_reduce: str = "scatter"  # pallas entry-grad reduction: scatter|sorted|segment|mxu
     tiles_per_block: int = 8  # tiles per Pallas grid step (amortizes step floor)
     # Pallas tile WIDTH in px (height fixed 16; 0 = tile_size). 64x16 tiles
     # measured fastest on v5e (round-4 sweep: 41% fewer intersections than

@@ -64,11 +64,13 @@ zeroes their slots.
 Gradient reduction (entry gradients -> per-splat gradients) exploits the
 layout: entry ids are depth RANKS, so after ONE rank-keyed sort of the
 entry index space the per-splat reduction is a contiguous-segment sum.
-Three interchangeable strategies are provided (``grad_reduce=``):
+Four interchangeable strategies are provided (``grad_reduce=``):
 'scatter' (plain .at[ids].add — XLA's per-index emitter, the round-2
 bottleneck at ~26 ms/step), 'sorted' (rank-sorted permutation gather +
-sorted-indices scatter-add), and 'segment' (rank-sorted gather + two-level
-cumulative sum + boundary differences — no per-index scatter at all).
+sorted-indices scatter-add), 'segment' (rank-sorted gather + two-level
+cumulative sum + boundary differences — no per-index scatter at all), and
+'mxu' (rank-sorted gather + a Pallas kernel that reduces each 128-id block
+with one-hot MXU contractions — see _segsum_kernel).
 """
 from __future__ import annotations
 
@@ -240,6 +242,125 @@ def _segment_bwd(res, g):
     return dtable, np.zeros(ids.shape, jax.dtypes.float0)
 
 
+# --- 'mxu' strategy: rank sort + Pallas one-hot-MXU segment sum ------------
+#
+# Replaces the per-index scatter-add entirely: after the rank sort, each
+# output row's entries sit in ONE contiguous run of the sorted entry array.
+# A sequential-grid Pallas kernel owns 128 output rows per grid step, walks
+# exactly that id-range's entry windows (per-block [start, end) bounds come
+# from one searchsorted over 128-aligned id boundaries), and reduces each
+# (CHUNK, TROWS) window onto its (128, TROWS) accumulator with a one-hot MXU
+# contraction: one_hot[e, i] = (id[e] == base + i) is exact in bf16, so two
+# DEFAULT passes against the hi/lo split of the f32 gradient rows reproduce
+# the f32 sum to ~1 ulp per product. No per-index op anywhere at entry
+# scale: the only index-bound cost left is the (D,)-row permutation gather
+# feeding the kernel. Window ranges of adjacent blocks overlap by at most
+# one window; out-of-range ids in a window simply match no one-hot row.
+
+MXU_BLK = 128  # output rows owned per grid step (== one-hot matmul N)
+_SEGSUM_CHUNK = 128  # entry window height
+
+
+def _segsum_kernel(chunk, used, nblk, bounds, rows_ref, out_ref,
+                   buf, sem, acc, pstate):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        pstate[0] = -1
+        pstate[1] = 0
+
+    s = bounds[k]
+    e = bounds[k + 1]
+    nwin = (e - s + chunk - 1) // chunk
+    base_f = (k * MXU_BLK).astype(jnp.float32)
+    # tpu.iota only produces integers — build the f32 lane ramp via convert.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, MXU_BLK), 1).astype(
+        jnp.float32)
+    acc[...] = jnp.zeros((MXU_BLK, TROWS), jnp.float32)
+
+    def body(w, _):
+        off = s + w * chunk
+        next_off = jnp.where(
+            w + 1 < nwin,
+            off + chunk,
+            # The next acquiring block starts at ITS bounds[k'] — runs of
+            # empty blocks alias this block's end (same trick as the
+            # rasterize kernels' empty-tile prediction).
+            jnp.where(k + 1 < nblk, e, -1),
+        )
+        slot = _acquire(rows_ref, buf, sem, pstate, off, next_off, chunk)
+        w_rows = buf[slot]  # (chunk, TROWS); col `used` carries the f32 id
+        ids_f = w_rows[:, used : used + 1]
+        oh = (ids_f - base_f == col).astype(jnp.bfloat16)  # (chunk, MXU_BLK)
+        hi, lo = _split_bf16(w_rows)
+
+        def d(v):
+            return jax.lax.dot_general(
+                oh, v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (MXU_BLK, TROWS)
+
+        acc[...] += d(hi) + d(lo)
+        return 0
+
+    jax.lax.fori_loop(0, nwin, body, 0)
+    out_ref[...] = acc[...]
+
+    @pl.when(k == pl.num_programs(0) - 1)
+    def _():
+        _drain_pending(rows_ref, buf, sem, pstate, chunk)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_segsum_fn(nblk, chunk, used):
+    return pl.pallas_call(
+        functools.partial(_segsum_kernel, chunk, used, nblk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((MXU_BLK, TROWS), lambda k, b: (k, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, chunk, TROWS), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((MXU_BLK, TROWS), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblk * MXU_BLK, TROWS), jnp.float32),
+        interpret=_interpret(),
+    )
+
+
+def _mxu_bwd(res, g):
+    ids, n = res
+    if n >= (1 << 24):  # ids must be f32-exact to ride the gradient rows
+        return _sorted_bwd(res, g)
+    used = min(GRAD_ROWS, g.shape[1])
+    d = ids.shape[0]
+    chunk = _SEGSUM_CHUNK
+    sorted_ids, perm = _rank_sort(ids, n)
+    gs = _row_gather_i16(g[:, :used], perm)  # (D, used) id-sorted
+    rows = jnp.concatenate(
+        [gs, sorted_ids.astype(jnp.float32)[:, None],
+         jnp.zeros((d, TROWS - used - 1), gs.dtype)], axis=1)
+    # Trailing pad windows (the boundary-overlap reads past d) must never go
+    # hot: give them an id past every block's range.
+    pad = jnp.zeros((chunk, TROWS), jnp.float32).at[:, used].set(
+        jnp.float32(1 << 24))
+    rows = jnp.concatenate([rows, pad], axis=0)
+    nblk = (n + MXU_BLK - 1) // MXU_BLK
+    qs = jnp.arange(nblk + 1, dtype=jnp.int32) * MXU_BLK
+    bounds = jnp.searchsorted(sorted_ids, qs, side="left").astype(jnp.int32)
+    out = _cached_segsum_fn(nblk, chunk, used)(bounds, rows)
+    dtable = out[:n, :used]
+    if used < g.shape[1]:
+        dtable = jnp.pad(dtable, ((0, 0), (0, g.shape[1] - used)))
+    return dtable, np.zeros(ids.shape, jax.dtypes.float0)
+
+
 @jax.custom_vjp
 def _gather_scatter(table, ids):
     return table[ids]
@@ -255,9 +376,15 @@ def _gather_segment(table, ids):
     return table[ids]
 
 
+@jax.custom_vjp
+def _gather_mxu(table, ids):
+    return table[ids]
+
+
 _gather_scatter.defvjp(_gather_fwd, _scatter_bwd)
 _gather_sorted.defvjp(_gather_fwd, _sorted_bwd)
 _gather_segment.defvjp(_gather_fwd, _segment_bwd)
+_gather_mxu.defvjp(_gather_fwd, _mxu_bwd)
 
 
 @jax.custom_vjp
@@ -295,6 +422,7 @@ _GATHERS = {
     "scatter": _gather_scatter,
     "sorted": _gather_sorted,
     "segment": _gather_segment,
+    "mxu": _gather_mxu,
 }
 
 
@@ -315,6 +443,14 @@ _GATHERS = {
 # pass fewer. Env-overridable for chip A/Bs (TINYSPLAT_MM_PRECISION in
 # {default, bf16x3, highest}).
 _MM_MODE = os.environ.get("TINYSPLAT_MM_PRECISION", "bf16x3")
+# Precision of the EXACT-operand contractions (the triangular scan matmuls
+# and the fixed pixel basis): 'highest' (f32 6-pass decomposition — measured
+# fastest at P=256, see _dot), 'split2' (2 DEFAULT passes: exact operand one
+# bf16 pass each against the data operand's hi/lo split — ~21-bit data
+# accuracy), 'default' (1 bf16 pass — TIMING ONLY, coarsens log-space scans
+# past parity tolerances). At P=1024 (tile_x=64) the scans' cost scales with
+# pass count, so the P=256 measurement may not transfer — env knob for A/B.
+_SCAN_MODE = os.environ.get("TINYSPLAT_SCAN_PRECISION", "highest")
 
 
 def _split_bf16(x):
@@ -345,6 +481,17 @@ def _dot(a, b, dims, exact_lhs=False, exact_rhs=False):
         # bf16 pass and the manual split on v5e ((128,128)x(128,256): 38 vs
         # 48 vs 58 ns/matmul, probe_vpu_costs round 4) — these contractions
         # are pipeline-bound, not pass-bound, and HIGHEST is also exact.
+        # _SCAN_MODE re-opens the A/B at other P (see its comment).
+        if _SCAN_MODE == "split2":
+            if exact_lhs:
+                a_b = a.astype(jnp.bfloat16)
+                b_hi, b_lo = _split_bf16(b)
+                return d(a_b, b_hi) + d(a_b, b_lo)
+            b_b = b.astype(jnp.bfloat16)
+            a_hi, a_lo = _split_bf16(a)
+            return d(a_hi, b_b) + d(a_lo, b_b)
+        if _SCAN_MODE == "default":
+            return d(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
         return jax.lax.dot_general(
             a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -411,14 +558,21 @@ def _pixel_coords_local(tile_x=TILE, dtype=jnp.float32):
     return lx, ly
 
 
-# DANGEROUS experimental switch — DO NOT ENABLE on a shared chip. Evaluates
-# sigma as one (CHUNK, 8) x (8, P) MXU contraction against an EXACTLY-
-# bf16-representable pixel basis instead of the ~9-pass VPU dx/dy chain.
-# CPU-interpret parity holds to ~1e-4, but the first on-chip run (round 5)
-# returned garbage timings and WEDGED the TPU runtime (every later dispatch
-# hung) — suspect Mosaic mis-lowering of the K=8 bf16 dot. Needs an
-# isolated-chip investigation before it can ever default on.
-_SIGMA_MXU = os.environ.get("TINYSPLAT_SIGMA_MXU", "0") == "1"
+# Experimental switch: evaluate sigma as an MXU contraction against an
+# EXACTLY-bf16-representable pixel basis instead of the ~9-pass VPU dx/dy
+# chain. Modes (TINYSPLAT_SIGMA_MXU):
+#   "0"      off (default; VPU chain).
+#   "1"      (CHUNK, 8) x (8, P) dot — DANGEROUS, DO NOT ENABLE on a shared
+#            chip: CPU-interpret parity holds to ~1e-4, but the first
+#            on-chip run (round 5) returned garbage timings and WEDGED the
+#            TPU runtime (every later dispatch hung) — suspect Mosaic
+#            mis-lowering of the odd K=8 bf16 dot.
+#   "pad128" K zero-padded to 128: (CHUNK, 128) x (128, P) — the exact
+#            matmul shape the in-kernel scan contractions use on every
+#            step, so no novel lowering path; costs one extra (CHUNK, 128)
+#            concat pass per split operand.
+_SIGMA_MXU_MODE = os.environ.get("TINYSPLAT_SIGMA_MXU", "0")
+_SIGMA_MXU = _SIGMA_MXU_MODE in ("1", "pad128")
 
 
 def _sigma_basis(tile_x, px, py):
@@ -444,6 +598,9 @@ def _sigma_basis(tile_x, px, py):
     rows = jnp.concatenate(
         [one, px, py, p2h, p2l, pph, ppl, py2], axis=0
     )  # (8, P) f32, every element exactly bf16-representable
+    if _SIGMA_MXU_MODE == "pad128":
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((120, rows.shape[1]), rows.dtype)], axis=0)
     return rows.astype(jnp.bfloat16)
 
 
@@ -471,6 +628,11 @@ def _sigma_mxu(attrs, basis, gx, gy, log_op):
     r1 = lhs - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    if _SIGMA_MXU_MODE == "pad128":
+        zpad = jnp.zeros((lhs.shape[0], 120), jnp.bfloat16)
+        hi = jnp.concatenate([hi, zpad], axis=1)
+        mid = jnp.concatenate([mid, zpad], axis=1)
+        lo = jnp.concatenate([lo, zpad], axis=1)
 
     def d(u):
         return jax.lax.dot_general(
