@@ -17,7 +17,8 @@ run() {
 }
 
 run TINYSPLAT_SCAN_PRECISION=split2 ""
-run TINYSPLAT_SCAN_PRECISION=split2 "--grad-reduce mxu"
 run TINYSPLAT_SCAN_PRECISION=highest "--grad-reduce mxu"
-run "TINYSPLAT_Q_VPU=1 TINYSPLAT_SCAN_PRECISION=split2" ""
+run TINYSPLAT_EXACT_MOMENTS=1 ""
+run "TINYSPLAT_SCAN_PRECISION=split2 TINYSPLAT_EXACT_MOMENTS=1" "--grad-reduce mxu"
+run "TINYSPLAT_Q_VPU=1 TINYSPLAT_SCAN_PRECISION=split2 TINYSPLAT_EXACT_MOMENTS=1" "--grad-reduce mxu"
 echo "=== done $(date) ==="

@@ -1010,6 +1010,14 @@ _BWD_LEVEL = int(os.environ.get("TINYSPLAT_BWD_LEVEL", "0"))
 # A/B switch: fuse the moment and color-grad contractions into one stacked
 # MXU matmul (numerically identical blocks; see _bwd_window).
 _FUSED_MOMENTS = os.environ.get("TINYSPLAT_FUSED_MOMENTS", "1") == "1"
+# A/B switch: exact-rhs moment basis — split px^2 / px*py into bf16-exact
+# hi+lo basis ROWS and the cotangent g into hi+lo row PAIRS, so the fused
+# moment matmul's rhs is EXACTLY bf16-representable and only the lhs needs
+# an hi/lo split: 2 DEFAULT passes instead of bf16x3's 3, at strictly
+# better accuracy (the dropped a_lo*b_lo term of bf16x3 disappears; rhs is
+# exact). The N-dim grows 10 -> 16 rows — free, both pad to one 128-lane
+# MXU tile. Requires _FUSED_MOMENTS.
+_EXACT_MOMENTS = os.environ.get("TINYSPLAT_EXACT_MOMENTS", "0") == "1"
 # A/B switch: compute the K=4 Q contraction as 4 VPU fma passes instead of
 # an MXU dot (exact f32 — no bf16 splits needed on the VPU path).
 _Q_VPU = os.environ.get("TINYSPLAT_Q_VPU", "0") == "1"
@@ -1087,28 +1095,64 @@ def _bwd_window(chunk, k, cnt, attrs, fg_ref, tt, carry, px, py, ox, oy,
     # decomposition — see _dot); tile-local coords keep the recombination
     # cancellation-free (see _pixel_coords_local).
     ones = jnp.ones((1, px.shape[1]), jnp.float32)
-    basis = jnp.concatenate(
-        [ones, px, py, px * px, px * py, py * py], axis=0
-    )  # (6, P)
-    if _FUSED_MOMENTS:
-        # One (2*CHUNK, P) x (P, 10) contraction computes the moment block
-        # AND the color-gradient block (off-diagonal blocks are discarded):
-        # 3 bf16 passes instead of 6, halving per-matmul fixed costs
-        # (RHS weight loads: K/128 tiles per pass) at 2x row streaming.
+    if _FUSED_MOMENTS and _EXACT_MOMENTS:
+        # Exact-rhs variant (see _EXACT_MOMENTS): basis rows split so every
+        # rhs element is exactly bf16-representable; g split into hi+lo row
+        # pairs. One lhs hi/lo split -> 2 DEFAULT passes reproduce the f32
+        # contraction to lhs-split (~21-bit) accuracy.
+        def split2(v):
+            hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+            return hi, v - hi
+
+        p2h, p2l = split2(px * px)
+        pph, ppl = split2(px * py)
+        g_hi, g_lo = split2(g)
+        rhs = jnp.concatenate(
+            [ones, px, py, p2h, p2l, pph, ppl, py * py, g_hi, g_lo], axis=0
+        ).astype(jnp.bfloat16)  # (16, P), every element exact
         lhs = jnp.concatenate([dsigma, wmat], axis=0)  # (2C, P)
-        rhs = jnp.concatenate([basis, g], axis=0)  # (10, P)
-        both = _dot(lhs, rhs, ((1,), (1,)))  # (2C, 10)
-        mom = both[:chunk, 0:6]
-        dcol_f = both[chunk:, 6:10]
+        l_hi, l_lo = _split_bf16(lhs)
+
+        def dd(u):
+            return jax.lax.dot_general(
+                u, rhs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+        both = dd(l_hi) + dd(l_lo)  # (2C, 16)
+        mom = both[:chunk]
+        m0 = mom[:, 0:1]
+        m1x = mom[:, 1:2]
+        m1y = mom[:, 2:3]
+        m2xx = mom[:, 3:4] + mom[:, 4:5]
+        m2xy = mom[:, 5:6] + mom[:, 6:7]
+        m2yy = mom[:, 7:8]
+        dcol_f = both[chunk:, 8:12] + both[chunk:, 12:16]
     else:
-        mom = _dot(dsigma, basis, ((1,), (1,)))  # (CHUNK, 6)
-        dcol_f = None
-    m0 = mom[:, 0:1]
-    m1x = mom[:, 1:2]
-    m1y = mom[:, 2:3]
-    m2xx = mom[:, 3:4]
-    m2xy = mom[:, 4:5]
-    m2yy = mom[:, 5:6]
+        basis = jnp.concatenate(
+            [ones, px, py, px * px, px * py, py * py], axis=0
+        )  # (6, P)
+        if _FUSED_MOMENTS:
+            # One (2*CHUNK, P) x (P, 10) contraction computes the moment
+            # block AND the color-gradient block (off-diagonal blocks are
+            # discarded): 3 bf16 passes instead of 6, halving per-matmul
+            # fixed costs (RHS weight loads: K/128 tiles per pass) at 2x
+            # row streaming.
+            lhs = jnp.concatenate([dsigma, wmat], axis=0)  # (2C, P)
+            rhs = jnp.concatenate([basis, g], axis=0)  # (10, P)
+            both = _dot(lhs, rhs, ((1,), (1,)))  # (2C, 10)
+            mom = both[:chunk, 0:6]
+            dcol_f = both[chunk:, 6:10]
+        else:
+            mom = _dot(dsigma, basis, ((1,), (1,)))  # (CHUNK, 6)
+            dcol_f = None
+        m0 = mom[:, 0:1]
+        m1x = mom[:, 1:2]
+        m1y = mom[:, 2:3]
+        m2xx = mom[:, 3:4]
+        m2xy = mom[:, 4:5]
+        m2yy = mom[:, 5:6]
     # Opacity gradient, analytically: wherever grad_ok holds, alpha =
     # op * e so d(alpha)/d(op) = e = alpha / op and therefore
     # sum_p dalpha * e = -sum_p dsigma / op = -M0 / op (op > 0 for every
