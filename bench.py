@@ -75,7 +75,8 @@ BASELINE_MSPLATS_S = 25.0
 def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
          iters: int = 30, warmup: int = 5, grad_reduce: str = "scatter",
          tiles_per_block: int = 8, tile_x: int = 64,
-         dup_capacity: int = 0, span_capacity: int = 0) -> None:
+         dup_capacity: int = 0, span_capacity: int = 0,
+         chunk: int = 128) -> None:
     from tinysplat_tpu.data.synthetic import orbit_cameras
     from tinysplat_tpu.render import render
     from __graft_entry__ import _example_state
@@ -111,6 +112,7 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
             grad_reduce=grad_reduce,
             tiles_per_block=tiles_per_block,
             tile_x=tile_x,
+            chunk=chunk,
         )
         return jnp.sum(rgb) + jnp.sum(extras["depth"])
 
@@ -138,12 +140,14 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
         "vs_baseline": round(msplats_s / BASELINE_MSPLATS_S, 3),
         "n_splats": n_splats,
         "resolution": [height, width],
-        "config": {"tile_x": tile_x, "grad_reduce": grad_reduce,
+        "config": {"tile_x": tile_x, "grad_reduce": grad_reduce, "chunk": chunk,
                    "tiles_per_block": tiles_per_block,
                    "dup_capacity": dup_capacity,
                    "span_capacity": span_capacity},
     }
     print(json.dumps(headline), flush=True)
+    if headline_only:  # A/B probes: skip the train-step section's compile
+        return
 
     # Secondary: the FULL training step (render + L1/SSIM loss + Adam +
     # densify accumulator) — the number a user's wall clock sees — and the
@@ -201,8 +205,11 @@ if __name__ == "__main__":
     p.add_argument("--dup-capacity", type=int, default=0,
                    help="0 = auto-scale the tuned default with --n")
     p.add_argument("--span-capacity", type=int, default=0)
+    p.add_argument("--chunk", type=int, default=128, help="pallas DMA window")
+    p.add_argument("--headline-only", action="store_true")
     args = p.parse_args()
     main(args.n, args.height, args.width, args.iters,
          grad_reduce=args.grad_reduce, tiles_per_block=args.tpb,
          tile_x=args.tile_x, dup_capacity=args.dup_capacity,
-         span_capacity=args.span_capacity)
+         span_capacity=args.span_capacity, chunk=args.chunk,
+         headline_only=args.headline_only)

@@ -13,7 +13,7 @@ cd "$(dirname "$0")/.."
 
 run() {
   echo "=== env=$1 args=$2 $(date) ==="
-  env $1 python bench.py --iters 20 $2
+  env $1 python bench.py --iters 20 --headline-only $2
 }
 
 run TINYSPLAT_SCAN_PRECISION=split2 ""
@@ -21,4 +21,5 @@ run TINYSPLAT_SCAN_PRECISION=highest "--grad-reduce mxu"
 run TINYSPLAT_EXACT_MOMENTS=1 ""
 run "TINYSPLAT_SCAN_PRECISION=split2 TINYSPLAT_EXACT_MOMENTS=1" "--grad-reduce mxu"
 run "TINYSPLAT_Q_VPU=1 TINYSPLAT_SCAN_PRECISION=split2 TINYSPLAT_EXACT_MOMENTS=1" "--grad-reduce mxu"
+run "TINYSPLAT_SCAN_PRECISION=split2 TINYSPLAT_EXACT_MOMENTS=1" "--grad-reduce mxu --chunk 256"
 echo "=== done $(date) ==="
