@@ -65,7 +65,9 @@ import jax.numpy as jnp
 # go through the config API (NOTES.md Gotchas).
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/jax_tpu_cache"))
+                                 os.path.join(os.path.dirname(
+                                     os.path.abspath(__file__)),
+                                     ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -76,7 +78,7 @@ def main(n_splats: int = 1 << 18, height: int = 1066, width: int = 1600,
          iters: int = 30, warmup: int = 5, grad_reduce: str = "scatter",
          tiles_per_block: int = 8, tile_x: int = 64,
          dup_capacity: int = 0, span_capacity: int = 0,
-         chunk: int = 128) -> None:
+         chunk: int = 128, headline_only: bool = False) -> None:
     from tinysplat_tpu.data.synthetic import orbit_cameras
     from tinysplat_tpu.render import render
     from __graft_entry__ import _example_state

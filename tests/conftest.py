@@ -26,7 +26,9 @@ jax.config.update("jax_platforms", "cpu")
 # JAX_COMPILATION_CACHE_DIR env var is read (empty) before this file runs.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/jax_test_cache"))
+                                 os.path.join(os.path.dirname(
+                                     os.path.dirname(os.path.abspath(__file__))),
+                                     ".jax_cache_cpu")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -13,14 +13,21 @@ interpreter startup, so the JAX_COMPILATION_CACHE_DIR env var is consumed
 import os
 
 
+#: Repo-local default so the cache survives sandbox restarts (/tmp is wiped
+#: on reboot — a round-5 restart cost a full re-warm of every executable).
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache")
+
+
 def enable_compile_cache(path: str = None) -> str:
     """Point JAX's persistent compilation cache at ``path`` (default:
-    $JAX_COMPILATION_CACHE_DIR or /tmp/jax_tpu_cache) with no size/time
+    $JAX_COMPILATION_CACHE_DIR or <repo>/.jax_cache) with no size/time
     floors. Call before the first jit dispatch; safe to call repeatedly."""
     import jax
 
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                  "/tmp/jax_tpu_cache")
+                                  DEFAULT_CACHE_DIR)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
