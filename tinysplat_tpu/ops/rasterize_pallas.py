@@ -444,13 +444,14 @@ _GATHERS = {
 # {default, bf16x3, highest}).
 _MM_MODE = os.environ.get("TINYSPLAT_MM_PRECISION", "bf16x3")
 # Precision of the EXACT-operand contractions (the triangular scan matmuls
-# and the fixed pixel basis): 'highest' (f32 6-pass decomposition — measured
-# fastest at P=256, see _dot), 'split2' (2 DEFAULT passes: exact operand one
+# and the fixed pixel basis): 'split2' (2 DEFAULT passes: exact operand one
 # bf16 pass each against the data operand's hi/lo split — ~21-bit data
-# accuracy), 'default' (1 bf16 pass — TIMING ONLY, coarsens log-space scans
-# past parity tolerances). At P=1024 (tile_x=64) the scans' cost scales with
-# pass count, so the P=256 measurement may not transfer — env knob for A/B.
-_SCAN_MODE = os.environ.get("TINYSPLAT_SCAN_PRECISION", "highest")
+# accuracy; DEFAULT since the round-5 chip A/B: at the production P=1024
+# (tile_x=64) it is +10% end-to-end, 4.38 vs 3.97 Msplats/s), 'highest'
+# (f32 6-pass decomposition — fastest at P=256 where the scans are
+# pipeline-bound, round-4 probe), 'default' (1 bf16 pass — TIMING ONLY,
+# coarsens log-space scans past parity tolerances).
+_SCAN_MODE = os.environ.get("TINYSPLAT_SCAN_PRECISION", "split2")
 
 
 def _split_bf16(x):
@@ -1016,11 +1017,14 @@ _FUSED_MOMENTS = os.environ.get("TINYSPLAT_FUSED_MOMENTS", "1") == "1"
 # an hi/lo split: 2 DEFAULT passes instead of bf16x3's 3, at strictly
 # better accuracy (the dropped a_lo*b_lo term of bf16x3 disappears; rhs is
 # exact). The N-dim grows 10 -> 16 rows — free, both pad to one 128-lane
-# MXU tile. Requires _FUSED_MOMENTS.
-_EXACT_MOMENTS = os.environ.get("TINYSPLAT_EXACT_MOMENTS", "0") == "1"
+# MXU tile. Requires _FUSED_MOMENTS. DEFAULT since the round-5 chip A/B:
+# with split2 scans it is +3.4% end-to-end (4.533 vs 4.383 Msplats/s).
+_EXACT_MOMENTS = os.environ.get("TINYSPLAT_EXACT_MOMENTS", "1") == "1"
 # A/B switch: compute the K=4 Q contraction as 4 VPU fma passes instead of
-# an MXU dot (exact f32 — no bf16 splits needed on the VPU path).
-_Q_VPU = os.environ.get("TINYSPLAT_Q_VPU", "0") == "1"
+# an MXU dot (exact f32 — no bf16 splits needed on the VPU path). DEFAULT
+# since the round-5 chip A/B: +2.4% on the winner (4.591 vs 4.485
+# Msplats/s) and exact, so strictly better on both axes.
+_Q_VPU = os.environ.get("TINYSPLAT_Q_VPU", "1") == "1"
 
 
 def _ladder_out(chunk, col):
