@@ -15,6 +15,9 @@ echo "--- diffusion_ab $(date) ---"
 python scripts/diffusion_ab.py --prior-dir .diffusion_prior \
   --out DIFFUSION_AB_r05.json
 
+echo "--- quality_real retry (background=black fix) $(date) ---"
+python scripts/quality_real.py --iters 4000 --out QUALITY_r05_real.json
+
 echo "--- quality_bench noaa multiscale $(date) ---"
 python scripts/quality_bench.py --iters 7000 \
   --eval-scales 0.5,0.25 --out QUALITY_r05_noaa_ms.json

@@ -91,9 +91,16 @@ def main():
     # --- 3. train ------------------------------------------------------------
     state = init_from_pcd(dataset.pcd.xyz, dataset.pcd.colors, sh_degree=3,
                           capacity=args.capacity)
+    # background="black", NOT the "random" training default: the capture is
+    # a dark room (make_real_fixture renders onto a black backdrop), and
+    # random-bg training on a scene with large unfillable black regions
+    # forces a fragmented "black curtain" of splats behind the posters —
+    # the first r5 run hit exactly that (199k splats, eval stuck at 12.9 dB
+    # while train couldn't pass ~16; the round-2 QUALITY "empty sky"
+    # lesson). With the GT's true background the loss is fittable.
     cfg = Config(rasterizer="auto", sh_degree=3, max_iter=args.iters,
                  eval_interval=0, densify_end=args.iters * 10 // 15,
-                 regularize_depth=depth_reg)
+                 regularize_depth=depth_reg, background="black")
     trainer = Trainer(cfg, scene, state)
     trainer.eval_cameras = eval_cams
 
